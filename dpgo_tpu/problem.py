@@ -1,0 +1,511 @@
+"""Per-node MM surrogate problem: edge-wise operators, no sparse matrices.
+
+TPU-native re-derivation of the reference's DPGOProblem
+(C++/DPGO/include/DPGO/DPGOProblem.h, src/DPGOProblem.cpp) and the surrogate
+matrices of simplify_quadratic_data_matrix (C++/DPGO/src/DPGO_utils.cpp:1398-
+2289). All reference sparse matrices are replaced by edge-wise gather ->
+batched einsum -> scatter-add operators over flat pose/edge arrays.
+
+Notation (see ARCHITECTURE.md): per inter-node edge e the residual splits as
+r_e = A_self x_self + A_other x_other. The per-node surrogate around anchor Z:
+
+    G^a(X|Z) = 1/2 <G X, X> + <g, X> + f
+    <G X, X> = sum_intra |r_e(X)|^2 + 2 sum_inter |A_self x_self|^2 + xi |X|^2
+    g        = sum_inter A_self^T (A_other z_other - A_self z_self) - xi z_a
+    f        = 1/4 sum_inter |A_self z_self - A_other z_other|^2
+               + xi/2 |z_a|^2
+
+Rotations are stored as true rotation matrices [n, d, d]; the reference stores
+transposed blocks in a tall matrix, under which per-pose quadratic blocks act
+by left-multiplication — here they act by *right*-multiplication (tr(Q^T S Q)
+= tr(R S R^T)).
+
+The auxiliary (proximal) surrogate H^a decouples poses:
+    H_tt = diag(DiagT),  H_tR R = R_p nvec_p,   H_RR R = R_p S_p,
+with DiagT_p = 2 sum_{e inc p} tau_e + 1.5 xi,
+nvec_p = sum_{e: tail p} 2 tau_e t~_e,
+S_p = 2 sum_{e inc p} kappa_e I + 2 sum_{e: tail p} tau_e t~ t~^T + 1.5 xi I.
+Eliminating t and using that <W R, R> is constant on SO(d)^n for block
+W = S - T nvec nvec^T yields the *linear* rotation subproblem solved by one
+batched SO(d) projection (reference DPGOProblem::proximal,
+DPGOProblem.cpp:600-632).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu.graph import MultiGraph
+from dpgo_tpu.losses import Loss, loss_value, loss_weight
+from dpgo_tpu.manifold import proj_tangent, project_sod, sym_block_diag_product
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NodeState:
+    """Own + halo pose state of one node (leading axes may be batched)."""
+
+    t: jnp.ndarray    # [n0, d] own translations
+    R: jnp.ndarray    # [n0, d, d] own rotations
+    th: jnp.ndarray   # [n1, d] halo translations
+    Rh: jnp.ndarray   # [n1, d, d] halo rotations
+
+    def own(self):
+        return self.t, self.R
+
+    def with_own(self, t, R) -> "NodeState":
+        return NodeState(t=t, R=R, th=self.th, Rh=self.Rh)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class NodeProblem:
+    """Precomputed per-node problem data (one node; vmap over a stack)."""
+
+    # Static metadata.
+    d: int = dataclasses.field(metadata=dict(static=True))
+    xi: float = dataclasses.field(metadata=dict(static=True))
+    loss: Loss = dataclasses.field(metadata=dict(static=True))
+    loss_reg: float = dataclasses.field(metadata=dict(static=True))
+
+    # Pose-level arrays.
+    pose_mask: jnp.ndarray   # [n0] bool
+    diagT_inv: jnp.ndarray   # [n0] T = 1/DiagT
+    nvec: jnp.ndarray        # [n0, d]
+    W: jnp.ndarray           # [n0, d, d] aux rotation blocks (right-mult)
+    Minv: jnp.ndarray        # [n0, n0] inverse of the translation block mG00
+    precon_inv: jnp.ndarray  # [n0, d, d] block-Jacobi preconditioner blocks
+
+    # Intra edges.
+    a_i: jnp.ndarray
+    a_j: jnp.ndarray
+    a_R: jnp.ndarray
+    a_t: jnp.ndarray
+    a_kap: jnp.ndarray
+    a_tau: jnp.ndarray
+
+    # Inter edges.
+    e_self: jnp.ndarray
+    e_slot: jnp.ndarray
+    e_self_is_i: jnp.ndarray
+    e_R: jnp.ndarray
+    e_t: jnp.ndarray
+    e_kap: jnp.ndarray
+    e_tau: jnp.ndarray
+
+    # ---------------------------------------------------------------- helpers
+
+    def _n0(self):
+        return self.pose_mask.shape[0]
+
+    def intra_residuals(self, t, R):
+        """Intra-edge residuals (sqrt-weighted): r_t [m0, d], r_R [m0, d, d]."""
+        Ri = R[self.a_i]
+        rt = t[self.a_i] + jnp.einsum("eab,eb->ea", Ri, self.a_t) - t[self.a_j]
+        rR = jnp.einsum("eab,ebc->eac", Ri, self.a_R) - R[self.a_j]
+        return (jnp.sqrt(self.a_tau)[:, None] * rt,
+                jnp.sqrt(self.a_kap)[:, None, None] * rR)
+
+    def inter_halves(self, state: NodeState):
+        """Per inter-edge (A_self x_self) and (A_other x_other) residual
+        halves, each a (u [m1, d], E [m1, d, d]) pair."""
+        t, R, th, Rh = state.t, state.R, state.th, state.Rh
+        st = jnp.sqrt(self.e_tau)
+        sk = jnp.sqrt(self.e_kap)
+        sel = self.e_self_is_i[:, None]
+        selm = self.e_self_is_i[:, None, None]
+        ts = t[self.e_self]
+        Rs = R[self.e_self]
+        to = th[self.e_slot]
+        Ro = Rh[self.e_slot]
+        # self = tail(i): u = st (t_s + R_s t~), E = sk R_s R~
+        # self = head(j): u = -st t_s,          E = -sk R_s
+        u_s = jnp.where(
+            sel,
+            st[:, None] * (ts + jnp.einsum("eab,eb->ea", Rs, self.e_t)),
+            -st[:, None] * ts)
+        E_s = jnp.where(
+            selm,
+            sk[:, None, None] * jnp.einsum("eab,ebc->eac", Rs, self.e_R),
+            -sk[:, None, None] * Rs)
+        u_o = jnp.where(
+            sel,
+            -st[:, None] * to,
+            st[:, None] * (to + jnp.einsum("eab,eb->ea", Ro, self.e_t)))
+        E_o = jnp.where(
+            selm,
+            -sk[:, None, None] * Ro,
+            sk[:, None, None] * jnp.einsum("eab,ebc->eac", Ro, self.e_R))
+        return (u_s, E_s), (u_o, E_o)
+
+    def apply_A_self_T(self, u, E):
+        """Scatter A_self^T (u, E) into own (t, R) gradient space."""
+        st = jnp.sqrt(self.e_tau)
+        sk = jnp.sqrt(self.e_kap)
+        sel = self.e_self_is_i[:, None]
+        selm = self.e_self_is_i[:, None, None]
+        # tail: dt = st u ; dR = st u t~^T + sk E R~^T
+        # head: dt = -st u ; dR = -sk E
+        dt = jnp.where(sel, st[:, None] * u, -st[:, None] * u)
+        dR = jnp.where(
+            selm,
+            st[:, None, None] * u[:, :, None] * self.e_t[:, None, :]
+            + sk[:, None, None] * jnp.einsum("eab,ecb->eac", E, self.e_R),
+            -sk[:, None, None] * E)
+        n0 = self._n0()
+        g_t = jnp.zeros((n0, self.d), dt.dtype).at[self.e_self].add(dt)
+        g_R = jnp.zeros((n0, self.d, self.d), dR.dtype).at[self.e_self].add(dR)
+        return g_t, g_R
+
+    def inter_weights(self, state: NodeState):
+        """Per inter-edge robust IRLS weights at the anchor state."""
+        (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
+        u = u_s + u_o
+        E = E_s + E_o
+        s = jnp.sum(u * u, -1) + jnp.sum(E * E, (-1, -2))
+        return loss_weight(self.loss, s, self.loss_reg), s
+
+    # ------------------------------------------------------------ evaluations
+
+    def local_fobj(self, state: NodeState) -> jnp.ndarray:
+        """Node objective F^a(Z) = 1/2 sum_intra |r|^2 + 1/2 sum_inter
+        rho(|r|^2)/... (inter edges shared half-half between endpoints)."""
+        rt, rR = self.intra_residuals(state.t, state.R)
+        f = 0.5 * (jnp.sum(rt * rt) + jnp.sum(rR * rR))
+        (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
+        u = u_s + u_o
+        E = E_s + E_o
+        s = jnp.sum(u * u, -1) + jnp.sum(E * E, (-1, -2))
+        if self.loss is Loss.TRIVIAL:
+            f = f + 0.25 * jnp.sum(s)
+        else:
+            f = f + 0.25 * jnp.sum(loss_value(self.loss, s, self.loss_reg))
+        return f
+
+    def surrogate_g_f(self, state: NodeState):
+        """Linear term g = (g_t, g_R) and constant f of G^a(.|Z) (trivial
+        loss; reference evaluate_none_g_and_f0, DPGOProblem.cpp:269-287)."""
+        (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
+        g_t, g_R = self.apply_A_self_T(u_o - u_s, E_o - E_s)
+        g_t = g_t - self.xi * state.t
+        g_R = g_R - self.xi * state.R
+        du = u_s - u_o
+        dE = E_s - E_o
+        f = 0.25 * (jnp.sum(du * du) + jnp.sum(dE * dE)) \
+            + 0.5 * self.xi * (jnp.sum(state.t * state.t)
+                               + jnp.sum(state.R * state.R))
+        return (g_t, g_R), f
+
+    def G_quad(self, t, R):
+        """<G X, X> for X = (t, R) (the SPD surrogate quadratic form)."""
+        rt, rR = self.intra_residuals(t, R)
+        q = jnp.sum(rt * rt) + jnp.sum(rR * rR)
+        u_s, E_s = self._self_half(t, R)
+        q = q + 2.0 * (jnp.sum(u_s * u_s) + jnp.sum(E_s * E_s))
+        q = q + self.xi * (jnp.sum(t * t) + jnp.sum(R * R))
+        return q
+
+    def _self_half(self, t, R):
+        st = jnp.sqrt(self.e_tau)
+        sk = jnp.sqrt(self.e_kap)
+        sel = self.e_self_is_i[:, None]
+        selm = self.e_self_is_i[:, None, None]
+        ts = t[self.e_self]
+        Rs = R[self.e_self]
+        u_s = jnp.where(
+            sel,
+            st[:, None] * (ts + jnp.einsum("eab,eb->ea", Rs, self.e_t)),
+            -st[:, None] * ts)
+        E_s = jnp.where(
+            selm,
+            sk[:, None, None] * jnp.einsum("eab,ebc->eac", Rs, self.e_R),
+            -sk[:, None, None] * Rs)
+        return u_s, E_s
+
+    def G_apply(self, t, R):
+        """G X as (d/dt, d/dR): gradient of 1/2 <G X, X>."""
+        rt, rR = self.intra_residuals(t, R)
+        # intra: same scatter pattern as the global gradient with w = 1.
+        st = jnp.sqrt(self.a_tau)
+        sk = jnp.sqrt(self.a_kap)
+        u = st[:, None] * rt
+        E = sk[:, None, None] * rR
+        n0 = self._n0()
+        d = self.d
+        Df_t = jnp.zeros((n0, d), t.dtype)
+        Df_R = jnp.zeros((n0, d, d), R.dtype)
+        Gi = u[:, :, None] * self.a_t[:, None, :] + jnp.einsum(
+            "eab,ecb->eac", E, self.a_R)
+        Df_t = Df_t.at[self.a_i].add(u).at[self.a_j].add(-u)
+        Df_R = Df_R.at[self.a_i].add(Gi).at[self.a_j].add(-E)
+        # inter: 2 A_self^T A_self x_self.
+        u_s, E_s = self._self_half(t, R)
+        g2t, g2R = self.apply_A_self_T(2.0 * u_s, 2.0 * E_s)
+        Df_t = Df_t + g2t + self.xi * t
+        Df_R = Df_R + g2R + self.xi * R
+        return Df_t, Df_R
+
+    def evaluate_G(self, t, R, g, f) -> jnp.ndarray:
+        """G^a value = 1/2 <G X, X> + <g, X> + f (DPGOProblem.cpp:180-205)."""
+        g_t, g_R = g
+        return (0.5 * self.G_quad(t, R) + jnp.sum(g_t * t)
+                + jnp.sum(g_R * R) + f)
+
+    def euclidean_Df(self, state: NodeState, g=None):
+        """Local Euclidean gradient Df = G z_a + g  (= nabla_a F(Z) for the
+        trivial loss; DPGOProblem::evaluate_Df)."""
+        if g is None:
+            g, _ = self.surrogate_g_f(state)
+        Gt, GR = self.G_apply(state.t, state.R)
+        return Gt + g[0], GR + g[1]
+
+    def riemannian_grad(self, state: NodeState, Df=None):
+        if Df is None:
+            Df = self.euclidean_Df(state)
+        return Df[0], proj_tangent(state.R, Df[1])
+
+    def q_gap(self, dstate: NodeState) -> jnp.ndarray:
+        """1/2 <Q dZ, dZ> = -1/4 sum_inter |A_tail dZ_tail - A_head dZ_head|^2
+        - xi/2 |dZ_a|^2 — the *anti-residual* of the state delta.
+
+        Exact telescoping gap F^a(Z') - G^a(X'|Z) for the trivial loss: the Q
+        matrix of simplify_quadratic_data_matrix is -1/2 x (the quadratic form
+        of A_i z_i - A_j z_j) on inter edges (DPGO_utils.cpp:1864-1962). Note
+        the per-node telescoped objective carries an antisymmetric cross-term
+        that cancels when summed over both endpoint nodes; the reference's
+        restart tests consume exactly this sequence, so we reproduce it.
+        """
+        (u_s, E_s), (u_o, E_o) = self.inter_halves(dstate)
+        # anti-residual = A_tail - A_head; its norm is side-symmetric.
+        u = u_s - u_o
+        E = E_s - E_o
+        s = jnp.sum(u * u) + jnp.sum(E * E)
+        return (-0.25 * s - 0.5 * self.xi *
+                (jnp.sum(dstate.t * dstate.t) + jnp.sum(dstate.R * dstate.R)))
+
+    def p_form(self, state: NodeState) -> jnp.ndarray:
+        """1/2 <P Z, Z> = -1/2 sum_intra |r|^2 - sum_inter <A_s z_s, A_o z_o>
+        + xi/2 |z_a|^2 (the P matrix of simplify_quadratic_data_matrix):
+        converts the telescoped fobj into the surrogate constant f via
+        f = fobj + 1/2 <P Z, Z> (evaluate_none_g_and_f,
+        DPGOProblem.cpp:516-542)."""
+        rt, rR = self.intra_residuals(state.t, state.R)
+        (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
+        cross = jnp.sum(u_s * u_o) + jnp.sum(E_s * E_o)
+        return (-0.5 * (jnp.sum(rt * rt) + jnp.sum(rR * rR)) - cross
+                + 0.5 * self.xi * (jnp.sum(state.t * state.t)
+                                   + jnp.sum(state.R * state.R)))
+
+    # ------------------------------------------------------------ proximal
+
+    def proximal(self, state: NodeState, Df):
+        """Closed-form minimizer of the auxiliary surrogate H^a(.|Z).
+
+        C = Df_R - (N^T T) Df_t - W z_R ;  R+ = project(-C)
+        t+ = z_t - T [nvec cross (R+ - z_R)] - T Df_t
+        (reference DPGOProblem::proximal, DPGOProblem.cpp:600-632; U matrix
+        semantics DPGO_utils.h:241-243 — here derived edge-wise.)
+        """
+        Df_t, Df_R = Df
+        z_t, z_R = state.t, state.R
+        Tv = self.diagT_inv
+        # (N^T v)[p] = v_p nvec_p^T (outer product into R-space).
+        NTv = (Tv[:, None] * Df_t)[:, :, None] * self.nvec[:, None, :]
+        WzR = jnp.einsum("pab,pbc->pac", z_R, self.W)
+        C = Df_R - NTv - WzR
+        R_new = project_sod(-C)
+        # t+ = z_t - T nvec-cross (R+ - z_R) - T Df_t
+        dR = R_new - z_R
+        t_new = z_t - Tv[:, None] * jnp.einsum(
+            "pab,pb->pa", dR, self.nvec) - Tv[:, None] * Df_t
+        return t_new, R_new
+
+    def recover_translations(self, R, g_t):
+        """t = -mG00^{-1} (g_t + mG01 R) (reference recover_translations,
+        DPGOProblem.h:275-294, CHOLMOD solve -> cached dense inverse)."""
+        rhs = g_t + self.mG01_apply(R)
+        return -jnp.einsum("pq,qa->pa", self.Minv, rhs)
+
+    def mG01_apply(self, M):
+        """t-space result of the G translation-rotation coupling block.
+
+        intra e: row t_i += tau M_i t~ ; row t_j -= tau M_i t~
+        inter self-tail e: row t_self += 2 tau M_self t~
+        """
+        n0 = self._n0()
+        v = self.a_tau[:, None] * jnp.einsum(
+            "eab,eb->ea", M[self.a_i], self.a_t)
+        out = jnp.zeros((n0, self.d), M.dtype)
+        out = out.at[self.a_i].add(v).at[self.a_j].add(-v)
+        w = jnp.where(self.e_self_is_i[:, None],
+                      2.0 * self.e_tau[:, None] * jnp.einsum(
+                          "eab,eb->ea", M[self.e_self], self.e_t),
+                      0.0)
+        out = out.at[self.e_self].add(w)
+        return out
+
+    def mG10_apply(self, v):
+        """R-space result of the transpose coupling block.
+
+        intra e: block R_i += tau (v_i - v_j) t~^T
+        inter self-tail e: block R_self += 2 tau v_self t~^T
+        """
+        n0 = self._n0()
+        dv = v[self.a_i] - v[self.a_j]
+        blk = self.a_tau[:, None, None] * dv[:, :, None] * \
+            self.a_t[:, None, :]
+        out = jnp.zeros((n0, self.d, self.d), v.dtype)
+        out = out.at[self.a_i].add(blk)
+        blk2 = jnp.where(
+            self.e_self_is_i[:, None, None],
+            2.0 * self.e_tau[:, None, None] *
+            v[self.e_self][:, :, None] * self.e_t[:, None, :],
+            0.0)
+        out = out.at[self.e_self].add(blk2)
+        return out
+
+    def mG11_apply(self, M):
+        """R-space rotation block of G applied to ambient M [n0, d, d].
+
+        intra e: R_i += kappa (M_i R~ - M_j) R~^T + tau (M_i t~) t~^T
+                 R_j += -kappa (M_i R~ - M_j)
+        inter self-tail: R_s += 2 kappa M_s + 2 tau (M_s t~) t~^T
+        inter self-head: R_s += 2 kappa M_s
+        plus xi M.
+        """
+        n0 = self._n0()
+        Mi = M[self.a_i]
+        Mj = M[self.a_j]
+        rR = jnp.einsum("eab,ebc->eac", Mi, self.a_R) - Mj
+        blk_i = self.a_kap[:, None, None] * jnp.einsum(
+            "eab,ecb->eac", rR, self.a_R) \
+            + self.a_tau[:, None, None] * jnp.einsum(
+                "eab,eb->ea", Mi, self.a_t)[:, :, None] * self.a_t[:, None, :]
+        blk_j = -self.a_kap[:, None, None] * rR
+        out = jnp.zeros((n0, self.d, self.d), M.dtype)
+        out = out.at[self.a_i].add(blk_i).at[self.a_j].add(blk_j)
+        Ms = M[self.e_self]
+        tail_extra = jnp.where(
+            self.e_self_is_i[:, None, None],
+            2.0 * self.e_tau[:, None, None] * jnp.einsum(
+                "eab,eb->ea", Ms, self.e_t)[:, :, None] * self.e_t[:, None, :],
+            0.0)
+        out = out.at[self.e_self].add(
+            2.0 * self.e_kap[:, None, None] * Ms + tail_extra)
+        return out + self.xi * M
+
+    # ---------------------------------------------------- TNT building blocks
+
+    def reduced_euclidean_grad(self, t, R, g_R):
+        """nabla_R G(X) = g_R + mG10 t + mG11 R (DPGOProblem.h:380-393)."""
+        return g_R + self.mG10_apply(t) + self.mG11_apply(R)
+
+    def reduced_hessian_vp(self, R, nablaR, Rdot):
+        """Riemannian Hessian-vector product of the reduced (t-eliminated)
+        surrogate (DPGOProblem.cpp:552-577)."""
+        tdot = -jnp.einsum("pq,qa->pa", self.Minv, self.mG01_apply(Rdot))
+        E = self.mG10_apply(tdot) + self.mG11_apply(Rdot)
+        E = E - sym_block_diag_product(Rdot, R, nablaR)
+        return proj_tangent(R, E)
+
+    def precondition(self, R, V):
+        """Block-Jacobi preconditioner + tangent projection
+        (reference RegularizedCholesky, DPGOProblem.cpp:579-598)."""
+        return proj_tangent(R, jnp.einsum("pab,pbc->pac", V, self.precon_inv))
+
+
+# ------------------------------------------------------------------ builders
+
+
+def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
+                        loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
+                        precon_cond: float = 1e6,
+                        dtype=jnp.float64) -> NodeProblem:
+    """Build a stacked NodeProblem (leading node axis) from a MultiGraph.
+
+    Host-side numpy; the dense mG00 inverses are computed here once
+    (replacing the reference's CHOLMOD factorization, DPGOProblem.cpp:93).
+    """
+    N, n0m, d = mg.num_nodes, mg.n0_max, mg.d
+    diagT = np.full((N, n0m), 1.5 * xi)
+    nvec = np.zeros((N, n0m, d))
+    S = np.tile(1.5 * xi * np.eye(d), (N, n0m, 1, 1))
+    mG00 = np.zeros((N, n0m, n0m))
+    jac = np.tile(xi * np.eye(d), (N, n0m, 1, 1))  # mG11 block-diagonal
+
+    for a in range(N):
+        ii, jj = mg.a_i[a], mg.a_j[a]
+        tau = mg.a_tau[a]
+        kap = mg.a_kap[a]
+        tt = mg.a_t[a]
+        msk = mg.a_mask[a]
+        np.add.at(diagT[a], ii, 2 * tau * msk)
+        np.add.at(diagT[a], jj, 2 * tau * msk)
+        np.add.at(nvec[a], ii, 2 * tau[:, None] * tt * msk[:, None])
+        np.add.at(S[a], ii, (2 * kap * msk)[:, None, None] * np.eye(d)
+                  + (2 * tau * msk)[:, None, None]
+                  * tt[:, :, None] * tt[:, None, :])
+        np.add.at(S[a], jj, (2 * kap * msk)[:, None, None] * np.eye(d))
+        # mG00 intra Laplacian.
+        w = tau * msk
+        np.add.at(mG00[a], (ii, ii), w)
+        np.add.at(mG00[a], (jj, jj), w)
+        np.add.at(mG00[a], (ii, jj), -w)
+        np.add.at(mG00[a], (jj, ii), -w)
+        # mG11 block diagonal (Jacobi preconditioner).
+        np.add.at(jac[a], ii, (kap * msk)[:, None, None] * np.eye(d)
+                  + (tau * msk)[:, None, None]
+                  * tt[:, :, None] * tt[:, None, :])
+        np.add.at(jac[a], jj, (kap * msk)[:, None, None] * np.eye(d))
+
+        es = mg.e_self[a]
+        et = mg.e_tau[a] * mg.e_mask[a]
+        ek = mg.e_kap[a] * mg.e_mask[a]
+        ett = mg.e_t[a]
+        is_tail = mg.e_self_is_i[a]
+        np.add.at(diagT[a], es, 2 * et)
+        np.add.at(nvec[a], es,
+                  (2 * et * is_tail)[:, None] * ett)
+        np.add.at(S[a], es, (2 * ek)[:, None, None] * np.eye(d)
+                  + (2 * et * is_tail)[:, None, None]
+                  * ett[:, :, None] * ett[:, None, :])
+        np.add.at(mG00[a], (es, es), 2 * et)
+        np.add.at(jac[a], es, (2 * ek)[:, None, None] * np.eye(d)
+                  + (2 * et * is_tail)[:, None, None]
+                  * ett[:, :, None] * ett[:, None, :])
+
+        # xi on real poses; identity on padded poses (keeps mG00 invertible).
+        real = mg.pose_mask[a]
+        mG00[a][np.diag_indices(n0m)] += np.where(real, xi, 1.0)
+
+    Tinv = 1.0 / diagT
+    W = S - Tinv[:, :, None, None] * nvec[:, :, :, None] * nvec[:, :, None, :]
+    Minv = np.linalg.inv(mG00)
+
+    # Regularized block-Jacobi preconditioner: invert per-pose blocks of
+    # mG11 + (lambda_max / cond) I. lambda_max is approximated by the largest
+    # Gershgorin bound of the block diagonal (cheap, same role as the
+    # reference's Spectra Lanczos estimate, DPGOProblem.cpp:101-124).
+    lam_max = np.abs(jac).sum(axis=(-1, -2)).max(axis=-1)  # [N]
+    reg = lam_max / precon_cond
+    jac_reg = jac + reg[:, None, None, None] * np.eye(d)
+    precon_inv = np.linalg.inv(jac_reg)
+
+    cast = lambda x: jnp.asarray(x, dtype)
+    return NodeProblem(
+        d=d, xi=xi, loss=loss, loss_reg=loss_reg,
+        pose_mask=jnp.asarray(mg.pose_mask),
+        diagT_inv=cast(Tinv), nvec=cast(nvec), W=cast(W),
+        Minv=cast(Minv), precon_inv=cast(precon_inv),
+        a_i=jnp.asarray(mg.a_i), a_j=jnp.asarray(mg.a_j),
+        a_R=cast(mg.a_R), a_t=cast(mg.a_t),
+        a_kap=cast(mg.a_kap), a_tau=cast(mg.a_tau),
+        e_self=jnp.asarray(mg.e_self), e_slot=jnp.asarray(mg.e_slot),
+        e_self_is_i=jnp.asarray(mg.e_self_is_i),
+        e_R=cast(mg.e_R), e_t=cast(mg.e_t),
+        e_kap=cast(mg.e_kap), e_tau=cast(mg.e_tau),
+    )

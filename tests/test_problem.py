@@ -1,0 +1,281 @@
+"""Tests for the per-node MM surrogate operators (problem.py).
+
+The oracles are (a) jax autodiff of directly-written objective functions and
+(b) the algebraic MM certificates: sum of node surrogates majorizes the global
+objective with equality/tangency at the anchor.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpgo_tpu.graph import build_multigraph
+from dpgo_tpu.losses import Loss
+from dpgo_tpu.manifold import project_sod, proj_tangent
+from dpgo_tpu.objective import EdgeData, evaluate_f
+from dpgo_tpu.problem import NodeProblem, NodeState, build_node_problems
+
+from tests.synthetic import random_pose_graph
+
+
+def make_problem(rng, num_poses=36, d=3, num_nodes=3, xi=1e-3):
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=num_poses, d=d,
+                                             loop_closures=20)
+    part, nodes, mg = build_multigraph(meas, num_nodes)
+    probs = build_node_problems(mg, xi=xi)
+    return meas, part, nodes, mg, probs
+
+
+def global_to_states(mg, part, t, R):
+    """Pack a global (t [P,d], R [P,d,d]) into per-node NodeStates."""
+    tn = np.zeros((mg.num_nodes, mg.n0_max, mg.d))
+    Rn = np.tile(np.eye(mg.d), (mg.num_nodes, mg.n0_max, 1, 1))
+    for a in range(mg.num_nodes):
+        n0 = int(mg.n0[a])
+        s = int(mg.start[a])
+        tn[a, :n0] = t[s:s + n0]
+        Rn[a, :n0] = R[s:s + n0]
+    gidx = mg.start[mg.halo_owner] + mg.halo_lpose  # [N, n1m] global ids
+    th = t[gidx]
+    Rh = R[gidx]
+    return NodeState(t=jnp.asarray(tn), R=jnp.asarray(Rn),
+                     th=jnp.asarray(th), Rh=jnp.asarray(Rh))
+
+
+def rand_global(rng, meas):
+    P, d = meas.num_poses, meas.d
+    t = rng.normal(size=(P, d))
+    R = np.asarray(project_sod(jnp.asarray(rng.normal(size=(P, d, d)))))
+    return t, R
+
+
+def node_prob(probs: NodeProblem, a: int) -> NodeProblem:
+    return jax.tree.map(lambda x: x[a], probs)
+
+
+def state_at(states: NodeState, a: int) -> NodeState:
+    return jax.tree.map(lambda x: x[a], states)
+
+
+def test_sum_local_fobj_equals_global(rng):
+    meas, part, nodes, mg, probs = make_problem(rng)
+    t, R = rand_global(rng, meas)
+    states = global_to_states(mg, part, t, R)
+    total = sum(float(node_prob(probs, a).local_fobj(state_at(states, a)))
+                for a in range(mg.num_nodes))
+    edges = EdgeData.from_measurements(meas)
+    f_global = float(evaluate_f(edges, jnp.asarray(t), jnp.asarray(R)))
+    np.testing.assert_allclose(total, f_global, rtol=1e-12)
+
+
+def test_surrogate_touches_and_gradient_matches(rng):
+    """At the anchor, G^a = F^a + xi-term*0 and grad G^a = grad F^a."""
+    meas, part, nodes, mg, probs = make_problem(rng)
+    t, R = rand_global(rng, meas)
+    states = global_to_states(mg, part, t, R)
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        st = state_at(states, a)
+        g, f = p.surrogate_g_f(st)
+        G_at_anchor = float(p.evaluate_G(st.t, st.R, g, f))
+        fobj = float(p.local_fobj(st))
+        np.testing.assert_allclose(G_at_anchor, fobj, rtol=1e-10)
+
+        # Gradient of G^a at the anchor equals nabla_a F of the *global*
+        # objective (inter edges count fully; their other half lives in the
+        # neighbor's surrogate). Autodiff oracle with the halo frozen:
+        def local_F(tR):
+            sx = st.with_own(tR[0], tR[1])
+            rt, rR = p.intra_residuals(sx.t, sx.R)
+            val = 0.5 * (jnp.sum(rt * rt) + jnp.sum(rR * rR))
+            (u_s, E_s), (u_o, E_o) = p.inter_halves(sx)
+            u = u_s + u_o
+            E = E_s + E_o
+            return val + 0.5 * (jnp.sum(u * u) + jnp.sum(E * E))
+
+        gt_auto, gR_auto = jax.grad(local_F)((st.t, st.R))
+        Df_t, Df_R = p.euclidean_Df(st, g=g)
+        np.testing.assert_allclose(np.asarray(Df_t), np.asarray(gt_auto),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(Df_R), np.asarray(gR_auto),
+                                   atol=1e-9)
+
+
+def test_surrogate_majorizes_globally(rng):
+    """sum_a G^a(X_a|Z) >= F(X) + xi/2 |X - Z|^2, equality at X = Z."""
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-6)
+    tz, Rz = rand_global(rng, meas)
+    zstates = global_to_states(mg, part, tz, Rz)
+    edges = EdgeData.from_measurements(meas)
+    for trial in range(5):
+        tx, Rx = rand_global(rng, meas)
+        xstates = global_to_states(mg, part, tx, Rx)
+        total_G = 0.0
+        for a in range(mg.num_nodes):
+            p = node_prob(probs, a)
+            g, f = p.surrogate_g_f(state_at(zstates, a))
+            sx = state_at(xstates, a)
+            total_G += float(p.evaluate_G(sx.t, sx.R, g, f))
+        f_global = float(evaluate_f(edges, jnp.asarray(tx), jnp.asarray(Rx)))
+        assert total_G >= f_global - 1e-8
+
+
+def test_q_gap_telescoping(rng):
+    """The telescoped per-node objective fobj' = G^a(X'|Z) + 1/2 <Q dZ, dZ>
+    sums to the exact global objective across nodes (per-node values carry an
+    antisymmetric inter-edge correction that cancels pairwise), and the
+    next-surrogate constant f' = fobj' + 1/2 <P Z', Z'> reproduces a valid
+    anchored surrogate (its value at the new anchor equals fobj')."""
+    meas, part, nodes, mg, probs = make_problem(rng)
+    tz, Rz = rand_global(rng, meas)
+    tx, Rx = rand_global(rng, meas)
+    zs = global_to_states(mg, part, tz, Rz)
+    xs = global_to_states(mg, part, tx, Rx)
+    edges = EdgeData.from_measurements(meas)
+    f_global = float(evaluate_f(edges, jnp.asarray(tx), jnp.asarray(Rx)))
+    total = 0.0
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        za, xa = state_at(zs, a), state_at(xs, a)
+        g, f = p.surrogate_g_f(za)
+        G_val = float(p.evaluate_G(xa.t, xa.R, g, f))
+        dstate = jax.tree.map(lambda x, z: x - z, xa, za)
+        fobj_new = G_val + float(p.q_gap(dstate))
+        total += fobj_new
+        # New anchored surrogate from the telescoped constant:
+        g2, _ = p.surrogate_g_f(xa)
+        f2 = fobj_new + float(p.p_form(xa))
+        G2_at_anchor = float(p.evaluate_G(xa.t, xa.R, g2, f2))
+        np.testing.assert_allclose(G2_at_anchor, fobj_new, rtol=1e-9)
+    # xi-proximal terms vanish at the anchor; corrections cancel globally.
+    np.testing.assert_allclose(total, f_global, rtol=1e-9)
+
+
+def aux_surrogate_value(p: NodeProblem, z: NodeState, t, R):
+    """Direct construction of the auxiliary surrogate H^a(X|Z) (up to the
+    constant F^a(Z)): 1/2 <H dX, dX> + <Df, dX> with dX = X - Z_a."""
+    Df_t, Df_R = p.euclidean_Df(z)
+    dt = t - z.t
+    dR = R - z.R
+    # <H dX, dX> = sum_p DiagT_p |dt_p|^2 + 2 dt_p^T dR_p nvec_p
+    #              + <dR_p S_p, dR_p>, with S = W + T nvec nvec^T.
+    S = p.W + p.diagT_inv[:, None, None] * \
+        p.nvec[:, :, None] * p.nvec[:, None, :]
+    quad = jnp.sum((1.0 / p.diagT_inv) * jnp.sum(dt * dt, -1))
+    quad += 2.0 * jnp.sum(dt * jnp.einsum("pab,pb->pa", dR, p.nvec))
+    quad += jnp.sum(jnp.einsum("pab,pbc->pac", dR, S) * dR)
+    lin = jnp.sum(Df_t * dt) + jnp.sum(Df_R * dR)
+    return 0.5 * quad + lin
+
+
+def test_proximal_minimizes_auxiliary_surrogate(rng):
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-3)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    key = jax.random.PRNGKey(0)
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+        Df = p.euclidean_Df(z)
+        t_new, R_new = p.proximal(z, Df)
+        val = float(aux_surrogate_value(p, z, t_new, R_new))
+        # Any other feasible candidate must not beat it.
+        for seed in range(8):
+            key, k1, k2 = jax.random.split(key, 3)
+            R_cand = project_sod(z.R + 0.3 * jax.random.normal(
+                k1, z.R.shape, dtype=z.R.dtype))
+            t_cand = z.t + 0.3 * jax.random.normal(
+                k2, z.t.shape, dtype=z.t.dtype)
+            cand = float(aux_surrogate_value(p, z, t_cand, R_cand))
+            assert val <= cand + 1e-9
+        # t+ satisfies the first-order condition of H in t exactly:
+        # DiagT (t - z_t) + dR nvec + Df_t = 0.
+        res = (1.0 / p.diagT_inv)[:, None] * (t_new - z.t) \
+            + jnp.einsum("pab,pb->pa", R_new - z.R, p.nvec) + Df[0]
+        assert float(jnp.abs(res).max()) < 1e-9
+        # The proximal step decreases the auxiliary surrogate (<= 0 at z).
+        assert val <= 1e-12
+
+
+def test_recover_translations_optimality(rng):
+    """mG00 t + mG01 R + g_t = 0 at recovered t -> dG/dt = 0 (autodiff)."""
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-3)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+        g, f = p.surrogate_g_f(z)
+        R_arb = project_sod(z.R + 0.2 * np.asarray(
+            jax.random.normal(jax.random.PRNGKey(a), z.R.shape)))
+        t_rec = p.recover_translations(R_arb, g[0])
+
+        def G_of_t(tv):
+            return p.evaluate_G(tv, R_arb, g, f)
+
+        grad_t = jax.grad(G_of_t)(t_rec)
+        assert float(jnp.abs(grad_t).max()) < 1e-8
+
+
+def test_G_apply_matches_autodiff(rng):
+    meas, part, nodes, mg, probs = make_problem(rng)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+
+        def quad(tR):
+            return 0.5 * p.G_quad(tR[0], tR[1])
+
+        gt_auto, gR_auto = jax.grad(quad)((z.t, z.R))
+        Gt, GR = p.G_apply(z.t, z.R)
+        np.testing.assert_allclose(np.asarray(Gt), np.asarray(gt_auto),
+                                   atol=1e-9)
+        np.testing.assert_allclose(np.asarray(GR), np.asarray(gR_auto),
+                                   atol=1e-9)
+
+
+def test_mg_blocks_match_G_apply(rng):
+    """mG00/mG01/mG10/mG11 block operators assemble to G_apply."""
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-4)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+        M = np.asarray(jax.random.normal(jax.random.PRNGKey(a),
+                                         z.R.shape))
+        v = np.asarray(jax.random.normal(jax.random.PRNGKey(100 + a),
+                                         z.t.shape))
+        Gt, GR = p.G_apply(jnp.asarray(v), jnp.asarray(M))
+        # translation row: mG00 v + mG01 M
+        mG00v = jnp.linalg.solve(p.Minv, jnp.asarray(v))  # Minv^{-1} = mG00
+        top = mG00v + p.mG01_apply(jnp.asarray(M))
+        np.testing.assert_allclose(np.asarray(top), np.asarray(Gt),
+                                   atol=1e-7)
+        # rotation row: mG10 v + mG11 M
+        bot = p.mG10_apply(jnp.asarray(v)) + p.mG11_apply(jnp.asarray(M))
+        np.testing.assert_allclose(np.asarray(bot), np.asarray(GR),
+                                   atol=1e-8)
+
+
+def test_hessian_vp_symmetric_and_fd(rng):
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-4)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    p = node_prob(probs, 0)
+    z = state_at(zs, 0)
+    g, f = p.surrogate_g_f(z)
+    key = jax.random.PRNGKey(7)
+    k1, k2 = jax.random.split(key)
+    V1 = proj_tangent(z.R, jax.random.normal(k1, z.R.shape, dtype=z.R.dtype))
+    V2 = proj_tangent(z.R, jax.random.normal(k2, z.R.shape, dtype=z.R.dtype))
+    t_of_R = lambda Rv: p.recover_translations(Rv, g[0])
+    nablaR = p.reduced_euclidean_grad(t_of_R(z.R), z.R, g[1])
+    H1 = p.reduced_hessian_vp(z.R, nablaR, V1)
+    H2 = p.reduced_hessian_vp(z.R, nablaR, V2)
+    ip1 = float(jnp.sum(H1 * V2))
+    ip2 = float(jnp.sum(H2 * V1))
+    np.testing.assert_allclose(ip1, ip2, rtol=1e-8, atol=1e-10)
