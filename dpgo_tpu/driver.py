@@ -1,0 +1,135 @@
+"""End-to-end distributed PGO driver (the dist_pgo equivalent).
+
+Single-process simulation mode: the node axis is vmapped; communication is a
+pure gather on the stacked node states (the reference's in-process
+communicate(), DPGO_utils.h:397-453). One solver iteration =
+iterate -> communicate -> update inside a single jit (dist_pgo.cpp:492-531).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu.graph import build_multigraph
+from dpgo_tpu.io.g2o import Measurements
+from dpgo_tpu.losses import Loss
+from dpgo_tpu.objective import EdgeData, evaluate_f, grad_norm
+from dpgo_tpu.problem import NodeProblem, NodeState, build_node_problems
+from dpgo_tpu.sesync import chordal_initialization, recover_translations_global
+from dpgo_tpu.solvers import mm as mm_mod
+from dpgo_tpu.solvers.mm import MMOptions, MMState, init_state
+
+
+def communicate(st: MMState, halo_owner, halo_lpose) -> MMState:
+    """Refresh every node's halo from the owners' current own state."""
+    th = st.Z.t[halo_owner, halo_lpose]
+    Rh = st.Z.R[halo_owner, halo_lpose]
+    Z = NodeState(t=st.Z.t, R=st.Z.R, th=th, Rh=Rh)
+    return st._replace(Z=Z)
+
+
+class DPGOSolver:
+    """Distributed PGO on one device: vmapped node axis, jitted step."""
+
+    def __init__(self, meas: Measurements, num_nodes: int,
+                 opts: MMOptions | None = None,
+                 loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
+                 dtype=jnp.float64):
+        self.meas = meas
+        self.num_nodes = num_nodes
+        self.opts = opts or MMOptions()
+        self.dtype = dtype
+        self.part, self.nodes, self.mg = build_multigraph(meas, num_nodes)
+        self.probs = build_node_problems(
+            self.mg, xi=self.opts.regularizer, loss=loss, loss_reg=loss_reg,
+            dtype=dtype)
+        self.edges = EdgeData.from_measurements(
+            meas, node_of=self.part.node_of, dtype=dtype)
+        self.loss = loss
+        self.loss_reg = loss_reg
+        self.halo_owner = jnp.asarray(self.mg.halo_owner)
+        self.halo_lpose = jnp.asarray(self.mg.halo_lpose)
+        self.node_of = jnp.asarray(self.part.node_of)
+        self.local_of = jnp.asarray(self.part.local_of)
+        self._step = jax.jit(self._step_impl)
+        self._first_update = jax.jit(
+            partial(mm_mod.update_state, opts=self.opts,
+                    k=jnp.zeros((), jnp.int32), first=True))
+        self._metrics = jax.jit(self._metrics_impl)
+
+    # ----------------------------------------------------------- init
+
+    def pack_global(self, t: np.ndarray, R: np.ndarray) -> NodeState:
+        """Distribute a global (t [P,d], R [P,d,d]) into padded node states
+        (halo filled by communicate)."""
+        mg = self.mg
+        tn = np.zeros((mg.num_nodes, mg.n0_max, mg.d))
+        Rn = np.tile(np.eye(mg.d), (mg.num_nodes, mg.n0_max, 1, 1))
+        for a in range(mg.num_nodes):
+            n0 = int(mg.n0[a])
+            s = int(mg.start[a])
+            tn[a, :n0] = t[s:s + n0]
+            Rn[a, :n0] = R[s:s + n0]
+        gidx = mg.start[mg.halo_owner] + mg.halo_lpose
+        return NodeState(
+            t=jnp.asarray(tn, self.dtype), R=jnp.asarray(Rn, self.dtype),
+            th=jnp.asarray(t[gidx], self.dtype),
+            Rh=jnp.asarray(R[gidx], self.dtype))
+
+    def gather_global(self, st: MMState):
+        """Assemble the global (t, R) from per-node own blocks."""
+        t = st.Z.t[self.node_of, self.local_of]
+        R = st.Z.R[self.node_of, self.local_of]
+        return t, R
+
+    def initialize(self, t: np.ndarray | None = None,
+                   R: np.ndarray | None = None) -> MMState:
+        """Centralized chordal initialization unless (t, R) given
+        (dist_pgo.cpp:416-444)."""
+        if R is None:
+            R = chordal_initialization(self.meas)
+        if t is None:
+            t = recover_translations_global(self.meas, R)
+        st = init_state(self.probs, self.pack_global(t, R))
+        st = communicate(st, self.halo_owner, self.halo_lpose)
+        st = st._replace(Z_prev=st.Z)
+        return self._first_update(self.probs, st)
+
+    # ----------------------------------------------------------- stepping
+
+    def _step_impl(self, st: MMState, k):
+        if self.opts.accelerated:
+            st = mm_mod.iterate_amm(self.probs, st, self.opts, k)
+        else:
+            st = mm_mod.iterate_mm(self.probs, st, self.opts, k)
+        st = communicate(st, self.halo_owner, self.halo_lpose)
+        # Z_prev (stamped inside iterate) is the previous anchor including the
+        # halo of the previous round's communicate — exactly the reference's
+        # X[iter-1] as consumed by DPGOHash::update.
+        return mm_mod.update_state(self.probs, st, self.opts, k + 1,
+                                   first=False)
+
+    def _metrics_impl(self, st: MMState):
+        t, R = self.gather_global(st)
+        f = evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
+        g = grad_norm(self.edges, t, R, self.loss, self.loss_reg)
+        return 2.0 * f, 2.0 * g
+
+    def run(self, num_iters: int, t0=None, R0=None, record_every: int = 1):
+        """Run the solver; returns (state, history) where history rows are
+        (iter, 2*fobj, 2*gradnorm) in the reference driver's convention."""
+        st = self.initialize(t0, R0)
+        history = []
+        f, g = self._metrics(st)
+        history.append((0, float(f), float(g)))
+        for k in range(num_iters):
+            st = self._step(st, jnp.asarray(k, jnp.int32))
+            if (k + 1) % record_every == 0:
+                f, g = self._metrics(st)
+                history.append((k + 1, float(f), float(g)))
+        return st, np.asarray(history)

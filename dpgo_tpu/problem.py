@@ -77,7 +77,16 @@ class NodeProblem:
     diagT_inv: jnp.ndarray   # [n0] T = 1/DiagT
     nvec: jnp.ndarray        # [n0, d]
     W: jnp.ndarray           # [n0, d, d] aux rotation blocks (right-mult)
-    Minv: jnp.ndarray        # [n0, n0] inverse of the translation block mG00
+    # Split inverse of the translation block mG00 = L + xi I: a bounded-entry
+    # reduced inverse over the non-null eigenspace plus an explicit rank-k
+    # null-space response. mG00^{-1} rhs = Minv_red rhs
+    #                                      + null_V (null_V^T rhs) / xi.
+    # (The xi-regularized Laplacian is near-singular for nodes without inter
+    # edges; a plain dense inverse has O(1/xi) entries whose rounding poisons
+    # every translation solve. The reference leans on CHOLMOD for the same
+    # system, DPGOProblem.cpp:93.)
+    Minv_red: jnp.ndarray    # [n0, n0]
+    null_V: jnp.ndarray      # [n0, kmax] (zero-padded columns)
     precon_inv: jnp.ndarray  # [n0, d, d] block-Jacobi preconditioner blocks
 
     # Intra edges.
@@ -324,11 +333,16 @@ class NodeProblem:
             "pab,pb->pa", dR, self.nvec) - Tv[:, None] * Df_t
         return t_new, R_new
 
+    def solve_mG00(self, rhs):
+        """Apply the split inverse of mG00 = L + xi I to rhs [n0, d]."""
+        out = jnp.einsum("pq,qa->pa", self.Minv_red, rhs)
+        c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
+        return out + jnp.einsum("pk,ka->pa", self.null_V, c)
+
     def recover_translations(self, R, g_t):
         """t = -mG00^{-1} (g_t + mG01 R) (reference recover_translations,
-        DPGOProblem.h:275-294, CHOLMOD solve -> cached dense inverse)."""
-        rhs = g_t + self.mG01_apply(R)
-        return -jnp.einsum("pq,qa->pa", self.Minv, rhs)
+        DPGOProblem.h:275-294, CHOLMOD solve -> cached split inverse)."""
+        return -self.solve_mG00(g_t + self.mG01_apply(R))
 
     def mG01_apply(self, M):
         """t-space result of the G translation-rotation coupling block.
@@ -407,7 +421,7 @@ class NodeProblem:
     def reduced_hessian_vp(self, R, nablaR, Rdot):
         """Riemannian Hessian-vector product of the reduced (t-eliminated)
         surrogate (DPGOProblem.cpp:552-577)."""
-        tdot = -jnp.einsum("pq,qa->pa", self.Minv, self.mG01_apply(Rdot))
+        tdot = -self.solve_mG00(self.mG01_apply(Rdot))
         E = self.mG10_apply(tdot) + self.mG11_apply(Rdot)
         E = E - sym_block_diag_product(Rdot, R, nablaR)
         return proj_tangent(R, E)
@@ -478,13 +492,29 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
                   + (2 * et * is_tail)[:, None, None]
                   * ett[:, :, None] * ett[:, None, :])
 
-        # xi on real poses; identity on padded poses (keeps mG00 invertible).
+        # Padded poses get an identity diagonal (decoupled, well-conditioned).
         real = mg.pose_mask[a]
-        mG00[a][np.diag_indices(n0m)] += np.where(real, xi, 1.0)
+        mG00[a][np.diag_indices(n0m)] += np.where(real, 0.0, 1.0)
 
     Tinv = 1.0 / diagT
     W = S - Tinv[:, :, None, None] * nvec[:, :, :, None] * nvec[:, :, None, :]
-    Minv = np.linalg.inv(mG00)
+
+    # Split inverse of mG00 = L + xi I per node: eigendecompose the PSD L,
+    # clamp the spectrum at zero, and separate the (near-)null eigenspace so
+    # the reduced inverse has bounded entries.
+    lam, V = np.linalg.eigh(mG00)  # L without xi
+    lam = np.maximum(lam, 0.0)
+    scale = lam.max(axis=1, keepdims=True)
+    null_mask = lam < 1e-10 * np.maximum(scale, 1.0)  # [N, n0m]
+    kmax = max(int(null_mask.sum(axis=1).max()), 1)
+    Minv_red = np.zeros((N, n0m, n0m))
+    null_V = np.zeros((N, n0m, kmax))
+    for a in range(N):
+        nm = null_mask[a]
+        w = np.where(nm, 0.0, 1.0 / (lam[a] + xi))
+        Minv_red[a] = (V[a] * w[None, :]) @ V[a].T
+        k = int(nm.sum())
+        null_V[a][:, :k] = V[a][:, nm]
 
     # Regularized block-Jacobi preconditioner: invert per-pose blocks of
     # mG11 + (lambda_max / cond) I. lambda_max is approximated by the largest
@@ -500,7 +530,8 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         d=d, xi=xi, loss=loss, loss_reg=loss_reg,
         pose_mask=jnp.asarray(mg.pose_mask),
         diagT_inv=cast(Tinv), nvec=cast(nvec), W=cast(W),
-        Minv=cast(Minv), precon_inv=cast(precon_inv),
+        Minv_red=cast(Minv_red), null_V=cast(null_V),
+        precon_inv=cast(precon_inv),
         a_i=jnp.asarray(mg.a_i), a_j=jnp.asarray(mg.a_j),
         a_R=cast(mg.a_R), a_t=cast(mg.a_t),
         a_kap=cast(mg.a_kap), a_tau=cast(mg.a_tau),

@@ -1,0 +1,361 @@
+"""MM-PGO and AMM-PGO# (decentralized, adaptive-restart) solvers.
+
+Reproduces the reference DPGOHash per-node solver (C++/DPGO/src/DPGOHash.cpp)
+as a masked state machine over a rectangular node axis:
+
+- `update_state`  = DPGOHash::update (DPGOHash.cpp:84-228): surrogate anchors
+  at the freshly-communicated Z, Nesterov s/gamma, exponential reference
+  sequences Fk[0]/Fk[1], restart hit counters, oscillation window.
+- `iterate_amm`   = DPGOHash::amm_pgo (DPGOHash.cpp:230-443): extrapolation,
+  closed-form proximal step, optional TNT refinement, adaptive hard/soft
+  restart cascade, phi-test.
+- `iterate_mm`    = DPGOHash::mm_pgo (DPGOHash.cpp:446-581).
+
+All per-node quantities live in arrays with a leading node axis; TNT runs
+vmapped with a scalar `lax.cond` guard so the expensive refinement executes
+only when at least one node needs it.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from dpgo_tpu.manifold import proj_tangent, project_sod
+from dpgo_tpu.problem import NodeProblem, NodeState
+from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt
+
+OSC_BUF = 17  # oscillation_cnt_period (15) + 2
+
+
+@dataclasses.dataclass(frozen=True)
+class MMOptions:
+    """Driver options (reference DPGO::Options defaults with the dist_pgo
+    overrides, dist_pgo.cpp:103-120)."""
+
+    accelerated: bool = True
+    regularizer: float = 1e-11
+    accepted_delta: float = 5e-4
+    eta0: float = 5e-4
+    eta1: float = 2.5e-2
+    psi: float = 1e-10
+    phi: float = 1e-6
+    max_soft_restart_hits0: int = 10
+    max_soft_restart_hits1: int = 25
+    oscillation_cnt_period: int = 15
+    max_oscillations: int = 12
+    tnt: TNTParams = TNTParams()
+
+
+class MMState(NamedTuple):
+    """Per-node solver state; every leaf has a leading node axis."""
+
+    # Current anchor Z (own + halo) and previous anchor.
+    Z: NodeState
+    Z_prev: NodeState
+    # Surrogate anchors at Z (and previous, for linear extrapolation).
+    g_t: jnp.ndarray
+    g_R: jnp.ndarray
+    f: jnp.ndarray          # [N]
+    fobj: jnp.ndarray       # [N] telescoped node objective
+    Df_t: jnp.ndarray
+    Df_R: jnp.ndarray
+    g_t_prev: jnp.ndarray
+    g_R_prev: jnp.ndarray
+    Df_t_prev: jnp.ndarray
+    Df_R_prev: jnp.ndarray
+    fobj_prev: jnp.ndarray
+    gradFnorm: jnp.ndarray  # [N]
+    # Nesterov bookkeeping.
+    Gk: jnp.ndarray         # [N] surrogate value at current own estimate
+    Fk0: jnp.ndarray
+    Fk1: jnp.ndarray
+    s: jnp.ndarray          # [N] s_k
+    s_next: jnp.ndarray     # [N] s_{k+1} (may be halved by hard restarts)
+    gamma: jnp.ndarray
+    hits0: jnp.ndarray      # [N] int32
+    hits1: jnp.ndarray
+    osc_buf: jnp.ndarray    # [N, OSC_BUF] int32, newest last
+    num_osc: jnp.ndarray    # [N] int32
+
+
+def init_state(probs: NodeProblem, Z: NodeState) -> MMState:
+    N = Z.t.shape[0]
+    zeros = jnp.zeros((N,), Z.t.dtype)
+    return MMState(
+        Z=Z, Z_prev=Z,
+        g_t=jnp.zeros_like(Z.t), g_R=jnp.zeros_like(Z.R),
+        f=zeros, fobj=zeros,
+        Df_t=jnp.zeros_like(Z.t), Df_R=jnp.zeros_like(Z.R),
+        g_t_prev=jnp.zeros_like(Z.t), g_R_prev=jnp.zeros_like(Z.R),
+        Df_t_prev=jnp.zeros_like(Z.t), Df_R_prev=jnp.zeros_like(Z.R),
+        fobj_prev=zeros, gradFnorm=zeros,
+        Gk=zeros, Fk0=zeros, Fk1=zeros,
+        s=jnp.ones((N,), Z.t.dtype), s_next=jnp.ones((N,), Z.t.dtype),
+        gamma=zeros,
+        hits0=jnp.zeros((N,), jnp.int32), hits1=jnp.zeros((N,), jnp.int32),
+        osc_buf=jnp.ones((N, OSC_BUF), jnp.int32),
+        num_osc=jnp.zeros((N,), jnp.int32),
+    )
+
+
+# --------------------------------------------------------------------- update
+
+
+def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
+                 k: jnp.ndarray, first: bool) -> MMState:
+    """DPGOHash::update — recompute surrogate anchors at the new Z and run the
+    Nesterov/restart bookkeeping. `k` is the iteration index (0 at `first`)."""
+
+    def per_node(p: NodeProblem, Z: NodeState, Z_prev: NodeState, Gk):
+        g, f_anchor = p.surrogate_g_f(Z)
+        if first:
+            fobj = p.local_fobj(Z)
+            f = f_anchor
+        else:
+            dZ = jax.tree.map(lambda a, b: a - b, Z, Z_prev)
+            fobj = Gk + p.q_gap(dZ)
+            f = fobj + p.p_form(Z)
+        Df = p.euclidean_Df(Z, g=g)
+        grad_t, grad_R = Df[0], proj_tangent(Z.R, Df[1])
+        gradnorm = jnp.sqrt(jnp.sum(grad_t * grad_t)
+                            + jnp.sum(grad_R * grad_R))
+        return g[0], g[1], f, fobj, Df[0], Df[1], gradnorm
+
+    g_t, g_R, f, fobj, Df_t, Df_R, gradFnorm = jax.vmap(per_node)(
+        probs, st.Z, st.Z_prev, st.Gk)
+
+    if first:
+        Fk0 = fobj
+        Fk1 = fobj
+        Gk = fobj
+        fobj_prev = fobj
+    else:
+        Fk0, Fk1, Gk, fobj_prev = st.Fk0, st.Fk1, st.Gk, st.fobj
+
+    if opts.accelerated:
+        s0 = st.s_next if not first else st.s  # s_k (post-restart value)
+        s1 = 0.5 + 0.5 * jnp.sqrt(4.0 * s0 * s0 + 1.0)
+        gamma = (s0 - 1.0) / s1
+
+        dec0 = fobj <= Fk1
+        hits0 = jnp.where(dec0, jnp.maximum(st.hits0 - 2, 0), st.hits0 + 1)
+
+        if first:
+            hits1 = st.hits1
+            osc_buf = st.osc_buf  # all ones; osc[0] = 1
+            num_osc = st.num_osc
+        else:
+            dec = fobj <= fobj_prev
+            hits1 = jnp.where(dec, 0, st.hits1 + 1)
+            osc_new = dec.astype(jnp.int32)
+            osc_buf = jnp.concatenate(
+                [st.osc_buf[:, 1:], osc_new[:, None]], axis=1)
+            # += osc[k] != osc[k-1]
+            num_osc = st.num_osc + (osc_buf[:, -1] != osc_buf[:, -2])
+            # -= osc[k-P] != osc[k-P-1] once k > P
+            sub = (osc_buf[:, 1] != osc_buf[:, 0]).astype(jnp.int32)
+            num_osc = num_osc - jnp.where(
+                k > opts.oscillation_cnt_period, sub, 0)
+
+        Fk0 = Fk0 * (1 - opts.eta0) + fobj * opts.eta0
+        Fk1 = jnp.maximum(fobj, Fk1 * (1 - opts.eta1) + fobj * opts.eta1)
+    else:
+        s0, s1, gamma = st.s, st.s_next, st.gamma
+        hits0, hits1 = st.hits0, st.hits1
+        osc_buf, num_osc = st.osc_buf, st.num_osc
+        Fk0 = fobj
+        Fk1 = fobj
+
+    return st._replace(
+        g_t=g_t, g_R=g_R, f=f, fobj=fobj, Df_t=Df_t, Df_R=Df_R,
+        g_t_prev=st.g_t if not first else g_t,
+        g_R_prev=st.g_R if not first else g_R,
+        Df_t_prev=st.Df_t if not first else Df_t,
+        Df_R_prev=st.Df_R if not first else Df_R,
+        fobj_prev=fobj_prev, gradFnorm=gradFnorm,
+        Gk=Gk, Fk0=Fk0, Fk1=Fk1,
+        s=s0, s_next=s1, gamma=gamma,
+        hits0=hits0, hits1=hits1, osc_buf=osc_buf, num_osc=num_osc,
+    )
+
+
+# -------------------------------------------------------------- TNT plumbing
+
+
+def _make_tnt_model(p: NodeProblem, g_t, g_R, f) -> TNTModel:
+    def objective(x):
+        return p.evaluate_G(x[0], x[1], (g_t, g_R), f)
+
+    def grad_and_nabla(x):
+        nabla = p.reduced_euclidean_grad(x[0], x[1], g_R)
+        return proj_tangent(x[1], nabla), nabla
+
+    def hess_vp(x, nabla, v):
+        return p.reduced_hessian_vp(x[1], nabla, v)
+
+    def precondition(x, v):
+        return p.precondition(x[1], v)
+
+    def retract(x, h):
+        R_new = project_sod(x[1] + h)
+        return p.recover_translations(R_new, g_t), R_new
+
+    return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
+                    hess_vp=hess_vp, precondition=precondition,
+                    retract=retract)
+
+
+def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams):
+    def one(p, t, R, gt, gR, fv):
+        model = _make_tnt_model(p, gt, gR, fv)
+        tn, Rn, fx, _, _ = tnt(model, t, R, params)
+        return tn, Rn, fx
+
+    return jax.vmap(one)(probs, t0, R0, g_t, g_R, f)
+
+
+def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
+                fallback_G):
+    """Run batched TNT only if any node needs it; select per node by mask.
+    Returns (t, R, G value at result)."""
+
+    def run(_):
+        tn, Rn, fx = _tnt_batch(probs, t0, R0, g_t, g_R, f, params)
+        return (jnp.where(mask[:, None, None], tn, t0),
+                jnp.where(mask[:, None, None, None], Rn, R0),
+                jnp.where(mask, fx, fallback_G))
+
+    def skip(_):
+        return t0, R0, fallback_G
+
+    return lax.cond(jnp.any(mask), run, skip, operand=None)
+
+
+# -------------------------------------------------------------------- iterate
+
+
+def _eval_G_batch(probs, t, R, g_t, g_R, f):
+    return jax.vmap(lambda p, a, b, c, d_, e: p.evaluate_G(a, b, (c, d_), e))(
+        probs, t, R, g_t, g_R, f)
+
+
+def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
+                k: jnp.ndarray) -> MMState:
+    """One AMM-PGO# iteration for all nodes (DPGOHash::amm_pgo)."""
+    gamma = st.gamma
+
+    def extrap(cur, prev):
+        g = gamma.reshape((-1,) + (1,) * (cur.ndim - 1))
+        return cur + g * (cur - prev)
+
+    # Nesterov extrapolation of the full Z and of (g, Df) — linear in Z for
+    # the trivial loss (DPGOHash.cpp:250-266).
+    Y = jax.tree.map(extrap, st.Z, st.Z_prev)
+    g_t_ex = extrap(st.g_t, st.g_t_prev)
+    g_R_ex = extrap(st.g_R, st.g_R_prev)
+    Df_t_ex = extrap(st.Df_t, st.Df_t_prev)
+    Df_R_ex = extrap(st.Df_R, st.Df_R_prev)
+
+    refined = (((st.gradFnorm * st.gradFnorm / st.fobj) > opts.accepted_delta)
+               | (st.num_osc >= opts.max_oscillations))
+    if opts.tnt.max_iterations <= 0 or opts.tnt.max_iterations_accepted <= 0:
+        refined = jnp.zeros_like(refined)
+
+    # Proximal step from the extrapolated point (Xakh).
+    th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
+        probs, Y, Df_t_ex, Df_R_ex)
+    Gkh = _eval_G_batch(probs, th_t, th_R, st.g_t, st.g_R, st.f)
+
+    diff_t = th_t - st.Z.t
+    diff_R = th_R - st.Z.R
+    minG = st.Fk0 - opts.psi * (
+        jnp.sum(diff_t * diff_t, axis=(1, 2)) +
+        jnp.sum(diff_R * diff_R, axis=(1, 2, 3)))
+
+    # Candidate Xak: proximal rotations + translations re-solved with the
+    # extrapolated g (DPGOHash.cpp:369-372).
+    t_c = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
+        probs, th_R, g_t_ex)
+    Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex, st.f,
+                                  refined, opts.tnt, Gkh)
+    Gk = _eval_G_batch(probs, Xak_t, Xak_R, st.g_t, st.g_R, st.f)
+
+    # Retry the un-extrapolated proximal if Gkh insufficient
+    # (DPGOHash.cpp:386-389).
+    need_retry = Gkh > minG
+    tp_t, tp_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
+        probs, st.Z, st.Df_t, st.Df_R)
+    Gkp = _eval_G_batch(probs, tp_t, tp_R, st.g_t, st.g_R, st.f)
+    Xakh_t = jnp.where(need_retry[:, None, None], tp_t, th_t)
+    Xakh_R = jnp.where(need_retry[:, None, None, None], tp_R, th_R)
+    Gkh = jnp.where(need_retry, Gkp, Gkh)
+
+    # Adaptive restart cascade (DPGOHash.cpp:391-432).
+    hard = Gk > st.Fk0
+    soft = ((Gk > st.Fk1) & (st.hits0 >= opts.max_soft_restart_hits0)) | \
+           ((Gk > st.fobj) & (st.hits1 > opts.max_soft_restart_hits1))
+    restart = hard | soft
+
+    # Restart candidate: Xakh if good enough, else un-extrapolated proximal;
+    # translations from g (non-extrapolated).
+    good = Gkh <= st.fobj
+    r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
+    r_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
+        probs, r_R, st.g_t)
+    r_G = _eval_G_batch(probs, r_t, r_R, st.g_t, st.g_R, st.f)
+    # Nodes with restart & refined get TNT refinement + its objective value;
+    # restart & ~refined keep the evaluated proximal value (the fallback).
+    rt_t, rt_R, Gk_restart = _masked_tnt(
+        probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined, opts.tnt,
+        r_G)
+
+    Xak_t = jnp.where(restart[:, None, None], rt_t, Xak_t)
+    Xak_R = jnp.where(restart[:, None, None, None], rt_R, Xak_R)
+    Gk = jnp.where(restart, Gk_restart, Gk)
+
+    s_next = jnp.where(hard, jnp.maximum(0.5 * st.s_next, 1.0), st.s_next)
+    hits0 = jnp.where(restart, st.hits0 // 3, st.hits0)
+    hits1 = jnp.where(restart, 0, st.hits1)
+
+    # phi-test: fall back to the proximal iterate Xakh if the refined step
+    # made insufficient progress relative to it (DPGOHash.cpp:434-441).
+    use_h = (st.Fk0 - Gk) < opts.phi * (st.Fk0 - Gkh)
+    g_sel_t = jnp.where(restart[:, None, None], st.g_t, g_t_ex)
+    phi_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
+        probs, Xakh_R, g_sel_t)
+    Xak_t = jnp.where(use_h[:, None, None], phi_t, Xak_t)
+    Xak_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xak_R)
+    Gk = jnp.where(
+        use_h,
+        _eval_G_batch(probs, Xak_t, Xak_R, st.g_t, st.g_R, st.f),
+        Gk)
+
+    # Stamp: Z_prev <- Z, Z.own <- Xak (halo refreshed by communicate()).
+    Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)
+    return st._replace(Z=Z_new, Z_prev=st.Z, Gk=Gk,
+                       s_next=s_next, hits0=hits0, hits1=hits1)
+
+
+def iterate_mm(probs: NodeProblem, st: MMState, opts: MMOptions,
+               k: jnp.ndarray) -> MMState:
+    """One plain MM-PGO iteration (DPGOHash::mm_pgo)."""
+    refined = ((st.gradFnorm * st.gradFnorm / st.fobj) > opts.accepted_delta)
+    if opts.tnt.max_iterations <= 0 or opts.tnt.max_iterations_accepted <= 0:
+        refined = jnp.zeros_like(refined)
+
+    th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
+        probs, st.Z, st.Df_t, st.Df_R)
+    t_c = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
+        probs, th_R, st.g_t)
+    G0 = _eval_G_batch(probs, t_c, th_R, st.g_t, st.g_R, st.f)
+    Xak_t, Xak_R, Gk = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
+                                   refined, opts.tnt, G0)
+    Gk = jnp.where(refined, Gk, G0)
+
+    Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)
+    return st._replace(Z=Z_new, Z_prev=st.Z, Gk=Gk)

@@ -1,0 +1,261 @@
+"""Riemannian truncated-Newton trust-region (TNT) with Steihaug-Toint
+preconditioned truncated CG, as fixed-shape JAX loops.
+
+Re-implements the reference's Optimization::Riemannian::TNT
+(C++/Optimization/include/Optimization/Riemannian/TNT.h:244-640) and
+LinearAlgebra::STPCG (IterativeSolvers.h:166-450) — the inner solver of every
+MM iteration — as `lax.while_loop`s over pytree states, so the whole refine
+step stays inside one jit and vmaps over the node axis.
+
+The optimization variable is the pair x = (t [n, d], R [n, d, d]); tangent
+vectors live in rotation space only (translations are eliminated through the
+retraction, cf. DPGOHash.cpp:270-320).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+@dataclasses.dataclass(frozen=True)
+class TNTParams:
+    """Mirrors Optimization::Riemannian::TNTParams defaults (TNT.h:76-130)
+    with the dist_pgo driver overrides applied by callers."""
+
+    gradient_tolerance: float = 1e-3
+    preconditioned_gradient_tolerance: float = 1e-4
+    relative_decrease_tolerance: float = 1e-6
+    stepsize_tolerance: float = 1e-4
+    Delta_tolerance: float = 1e-6
+    Delta0: float = 1.0
+    eta1: float = 0.05
+    eta2: float = 0.9
+    alpha1: float = 0.25
+    alpha2: float = 2.5
+    max_iterations: int = 10
+    max_iterations_accepted: int = 1
+    max_tCG_iterations: int = 10000
+    kappa_fgr: float = 0.05
+    theta: float = 0.9
+
+
+class TNTModel(NamedTuple):
+    """Problem closures for TNT (all pure functions of pytrees).
+
+    objective(x) -> scalar G value
+    grad_and_nabla(x) -> (riem_grad [n,d,d], euclid_nabla [n,d,d])
+    hess_vp(x, nabla, v) -> [n,d,d]
+    precondition(x, v) -> [n,d,d]
+    retract(x, v) -> x' (re-solves translations)
+    """
+
+    objective: Callable
+    grad_and_nabla: Callable
+    hess_vp: Callable
+    precondition: Callable
+    retract: Callable
+
+
+def _ip(a, b):
+    return jnp.sum(a * b)
+
+
+def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
+    """Steihaug-Toint truncated preconditioned CG (IterativeSolvers.h:166-450).
+
+    Returns (step, step_M_norm, num_iterations). hess_vp/precon close over the
+    current iterate.
+    """
+    eps = 1e-8
+    v0 = precon(grad)
+    r0v0 = _ip(grad, v0)
+    r0_norm = jnp.sqrt(r0v0)
+    target = r0_norm * jnp.minimum(params.kappa_fgr, r0_norm ** params.theta)
+    Delta2 = Delta * Delta
+
+    class S(NamedTuple):
+        s: jnp.ndarray
+        r: jnp.ndarray
+        v: jnp.ndarray
+        p: jnp.ndarray
+        sk_M_pk: jnp.ndarray
+        sk_M_2: jnp.ndarray
+        pk_M_2: jnp.ndarray
+        k: jnp.ndarray
+        done: jnp.ndarray
+        norm_out: jnp.ndarray  # final |s|_M (set on boundary exits)
+
+    init = S(s=jnp.zeros_like(grad), r=grad, v=v0, p=-v0,
+             sk_M_pk=jnp.zeros_like(r0v0), sk_M_2=jnp.zeros_like(r0v0),
+             pk_M_2=r0v0, k=jnp.zeros((), jnp.int32),
+             done=(r0_norm <= target) | (r0_norm == 0.0),
+             norm_out=jnp.zeros_like(r0v0))
+
+    def cond(st: S):
+        return (~st.done) & (st.k < params.max_tCG_iterations)
+
+    def body(st: S):
+        Hp = hess_vp(st.p)
+        kappa_k = _ip(st.p, Hp)
+        p_norm = jnp.sqrt(_ip(st.p, st.p))
+        Hp_norm = jnp.sqrt(_ip(Hp, Hp))
+        in_kernel = Hp_norm < eps * p_norm
+
+        # Boundary step length sigma (used by both boundary exits):
+        # ||s + sigma p||_M = Delta.
+        def sigma_of(sk_M_pk):
+            disc = sk_M_pk * sk_M_pk + st.pk_M_2 * (Delta2 - st.sk_M_2)
+            return (-sk_M_pk + jnp.sqrt(jnp.maximum(disc, 0.0))) / st.pk_M_2
+
+        # Kernel exit: follow p (sign-fixed to descent) to the boundary.
+        p_desc = jnp.where(_ip(st.p, st.r) < 0, -1.0, 1.0)
+        sk_M_pk_k = st.sk_M_pk * p_desc
+        s_kernel = st.s + (sigma_of(sk_M_pk_k) * p_desc) * st.p
+
+        rv = _ip(st.r, st.v)
+        alpha = rv / kappa_k
+        sk1_M_2 = st.sk_M_2 + 2 * alpha * st.sk_M_pk \
+            + alpha * alpha * st.pk_M_2
+        bad = (kappa_k <= 0) | (sk1_M_2 > Delta2)
+        s_boundary = st.s + sigma_of(st.sk_M_pk) * st.p
+
+        # Interior CG update.
+        s_new = st.s + alpha * st.p
+        r_new = st.r + alpha * Hp
+        v_new = precon(r_new)
+        rv_new = _ip(r_new, v_new)
+        beta = rv_new / (alpha * kappa_k)
+        sk_M_pk_new = beta * (st.sk_M_pk + alpha * st.pk_M_2)
+        pk_M_2_new = rv_new + beta * beta * st.pk_M_2
+        p_new = -v_new + beta * st.p
+        interior_done = jnp.sqrt(rv_new) <= target
+
+        exit_boundary = in_kernel | bad
+        s_exit = jnp.where(in_kernel, s_kernel, s_boundary)
+
+        s_out = jnp.where(exit_boundary, s_exit, s_new)
+        return S(
+            s=s_out,
+            r=jnp.where(exit_boundary, st.r, r_new),
+            v=jnp.where(exit_boundary, st.v, v_new),
+            p=jnp.where(exit_boundary, st.p, p_new),
+            sk_M_pk=jnp.where(exit_boundary, st.sk_M_pk, sk_M_pk_new),
+            sk_M_2=jnp.where(exit_boundary, st.sk_M_2, sk1_M_2),
+            pk_M_2=jnp.where(exit_boundary, st.pk_M_2, pk_M_2_new),
+            k=st.k + 1,
+            done=exit_boundary | interior_done,
+            norm_out=jnp.where(exit_boundary, Delta, st.norm_out),
+        )
+
+    out = lax.while_loop(cond, body, init)
+    norm = jnp.where(out.norm_out > 0, out.norm_out, jnp.sqrt(out.sk_M_2))
+    return out.s, norm, out.k
+
+
+class TNTResultState(NamedTuple):
+    t: jnp.ndarray
+    R: jnp.ndarray
+    fx: jnp.ndarray
+    grad: jnp.ndarray
+    nabla: jnp.ndarray
+    gradnorm: jnp.ndarray
+    pgradnorm: jnp.ndarray
+    Delta: jnp.ndarray
+    k: jnp.ndarray
+    accepted: jnp.ndarray
+    done: jnp.ndarray
+
+
+def tnt(model: TNTModel, t0, R0, params: TNTParams):
+    """Run TNT from (t0, R0); returns (t, R, fx, gradnorm, num_accepted).
+
+    Faithful to TNT.h:422-640: per outer iteration run STPCG, retract, gain
+    ratio test, trust-region update; stop on gradient tolerances, relative
+    decrease, stepsize, trust-region collapse, or max (accepted) iterations.
+    """
+    sqrt_eps = jnp.sqrt(jnp.finfo(t0.dtype).eps)
+
+    def eval_at(t, R):
+        fx = model.objective((t, R))
+        grad, nabla = model.grad_and_nabla((t, R))
+        gradnorm = jnp.sqrt(_ip(grad, grad))
+        pg = model.precondition((t, R), grad)
+        pgradnorm = jnp.sqrt(_ip(pg, pg))
+        return fx, grad, nabla, gradnorm, pgradnorm
+
+    fx0, grad0, nabla0, gn0, pgn0 = eval_at(t0, R0)
+    init = TNTResultState(
+        t=t0, R=R0, fx=fx0, grad=grad0, nabla=nabla0, gradnorm=gn0,
+        pgradnorm=pgn0, Delta=jnp.asarray(params.Delta0, t0.dtype),
+        k=jnp.zeros((), jnp.int32), accepted=jnp.zeros((), jnp.int32),
+        done=jnp.zeros((), bool))
+
+    def cond(st: TNTResultState):
+        return ((~st.done) & (st.k < params.max_iterations)
+                & (st.accepted < params.max_iterations_accepted))
+
+    def body(st: TNTResultState):
+        grad_small = ((st.gradnorm < params.gradient_tolerance)
+                      | (st.pgradnorm
+                         < params.preconditioned_gradient_tolerance))
+
+        x = (st.t, st.R)
+        h, h_M_norm, _ = stpcg(
+            st.grad,
+            lambda v: model.hess_vp(x, st.nabla, v),
+            lambda v: model.precondition(x, v),
+            st.Delta, params)
+        h_norm = jnp.sqrt(_ip(h, h))
+
+        t_prop, R_prop = model.retract(x, h)
+        fx_prop = model.objective((t_prop, R_prop))
+        dm = -_ip(st.grad, h) - 0.5 * _ip(h, model.hess_vp(x, st.nabla, h))
+        df = st.fx - fx_prop
+        rel_decrease = df / (sqrt_eps + jnp.abs(st.fx))
+        rho = df / dm
+        step_ok = (~jnp.isnan(rho)) & (rho > params.eta1)
+
+        # Accepted branch: move and re-evaluate model.
+        fx_n, grad_n, nabla_n, gn_n, pgn_n = eval_at(t_prop, R_prop)
+        t_new = jnp.where(step_ok, t_prop, st.t)
+        R_new = jnp.where(step_ok, R_prop, st.R)
+        fx_new = jnp.where(step_ok, fx_prop, st.fx)
+        grad_new = jnp.where(step_ok, grad_n, st.grad)
+        nabla_new = jnp.where(step_ok, nabla_n, st.nabla)
+        gn_new = jnp.where(step_ok, gn_n, st.gradnorm)
+        pgn_new = jnp.where(step_ok, pgn_n, st.pgradnorm)
+
+        stop_rel = step_ok & (rel_decrease
+                              < params.relative_decrease_tolerance)
+        stop_step = step_ok & (h_norm < params.stepsize_tolerance)
+
+        very_ok = (~jnp.isnan(rho)) & (rho >= params.eta2)
+        Delta_up = jnp.maximum(params.alpha2 * h_M_norm, st.Delta)
+        Delta_down = params.alpha1 * h_M_norm
+        Delta_new = jnp.where(very_ok, Delta_up,
+                              jnp.where(step_ok, st.Delta, Delta_down))
+        stop_delta = (~step_ok) & (Delta_new < params.Delta_tolerance)
+
+        # If the gradient was already small we never took this step.
+        keep = ~grad_small
+        return TNTResultState(
+            t=jnp.where(keep, t_new, st.t),
+            R=jnp.where(keep, R_new, st.R),
+            fx=jnp.where(keep, fx_new, st.fx),
+            grad=jnp.where(keep, grad_new, st.grad),
+            nabla=jnp.where(keep, nabla_new, st.nabla),
+            gradnorm=jnp.where(keep, gn_new, st.gradnorm),
+            pgradnorm=jnp.where(keep, pgn_new, st.pgradnorm),
+            Delta=jnp.where(keep, Delta_new, st.Delta),
+            k=st.k + 1,
+            accepted=st.accepted + (keep & step_ok),
+            done=grad_small | stop_rel | stop_step | stop_delta,
+        )
+
+    out = lax.while_loop(cond, body, init)
+    return out.t, out.R, out.fx, out.gradnorm, out.accepted

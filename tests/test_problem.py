@@ -250,8 +250,8 @@ def test_mg_blocks_match_G_apply(rng):
         v = np.asarray(jax.random.normal(jax.random.PRNGKey(100 + a),
                                          z.t.shape))
         Gt, GR = p.G_apply(jnp.asarray(v), jnp.asarray(M))
-        # translation row: mG00 v + mG01 M
-        mG00v = jnp.linalg.solve(p.Minv, jnp.asarray(v))  # Minv^{-1} = mG00
+        # translation row: mG00 v + mG01 M, with mG00 v = G_apply(v, 0).t
+        mG00v, _ = p.G_apply(jnp.asarray(v), jnp.zeros_like(jnp.asarray(M)))
         top = mG00v + p.mG01_apply(jnp.asarray(M))
         np.testing.assert_allclose(np.asarray(top), np.asarray(Gt),
                                    atol=1e-7)
@@ -259,6 +259,9 @@ def test_mg_blocks_match_G_apply(rng):
         bot = p.mG10_apply(jnp.asarray(v)) + p.mG11_apply(jnp.asarray(M))
         np.testing.assert_allclose(np.asarray(bot), np.asarray(GR),
                                    atol=1e-8)
+        # The split inverse really inverts mG00 = L + xi I.
+        back = p.solve_mG00(mG00v)
+        np.testing.assert_allclose(np.asarray(back), v, atol=1e-7)
 
 
 def test_hessian_vp_symmetric_and_fd(rng):
