@@ -1,0 +1,52 @@
+"""shard_map SPMD path: numerics must match the vmapped simulation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpgo_tpu.driver import DPGOSolver
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.parallel.spmd import ShardedDPGOSolver
+from dpgo_tpu.solvers.mm import MMOptions
+
+from tests.conftest import dataset_path
+from tests.synthetic import random_pose_graph
+
+
+@pytest.mark.parametrize("accelerated", [False, True])
+def test_sharded_matches_vmapped(rng, accelerated):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    meas, _, _ = random_pose_graph(rng, num_poses=64, d=3, loop_closures=40)
+    opts = MMOptions(accelerated=accelerated)
+    ref = DPGOSolver(meas, num_nodes=8, opts=opts)
+    shd = ShardedDPGOSolver(meas, num_nodes=8, opts=opts)
+    st_r, hist_r = ref.run(12, record_every=3)
+    st_s = shd.initialize()
+    hist_s = []
+    f, g = shd._metrics(st_s)
+    hist_s.append((0, float(f), float(g)))
+    for k in range(12):
+        st_s = shd._step(st_s, jnp.asarray(k, jnp.int32))
+        if (k + 1) % 3 == 0:
+            f, g = shd._metrics(st_s)
+            hist_s.append((k + 1, float(f), float(g)))
+    hist_s = np.asarray(hist_s)
+    np.testing.assert_allclose(hist_s[:, 1], hist_r[:, 1], rtol=1e-9)
+    np.testing.assert_allclose(hist_s[:, 2], hist_r[:, 2], rtol=1e-6,
+                               atol=1e-9)
+
+
+def test_sharded_csail_converges():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    shd = ShardedDPGOSolver(meas, num_nodes=8, opts=MMOptions())
+    st = shd.initialize()
+    f0, _ = shd._metrics(st)
+    for k in range(10):
+        st = shd._step(st, jnp.asarray(k, jnp.int32))
+    f1, g1 = shd._metrics(st)
+    assert float(f1) < float(f0)
+    assert np.isfinite(float(g1))
