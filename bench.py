@@ -1,0 +1,93 @@
+"""Benchmark harness: AMM-PGO# on sphere2500, 8-node partition (the BASELINE
+headline config), on whatever accelerator is available.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+The reference repo publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against a recorded previous-round value when available, else null.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dpgo_jax_cache")
+
+import numpy as np
+
+
+def main():
+    import jax
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ["JAX_COMPILATION_CACHE_DIR"])
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    import jax.numpy as jnp
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+
+    dataset = "/root/reference/dataset/sphere2500.g2o"
+    if not os.path.exists(dataset):
+        print(json.dumps({"metric": "sphere2500_8node_amm_iters_per_sec",
+                          "value": 0.0, "unit": "iter/s",
+                          "vs_baseline": None,
+                          "error": "dataset missing"}))
+        return
+
+    platform = jax.devices()[0].platform
+    dtype = jnp.float32 if platform != "cpu" else jnp.float64
+
+    meas = read_g2o_file(dataset)
+    solver = DPGOSolver(meas, num_nodes=8, opts=MMOptions(accelerated=True),
+                        dtype=dtype)
+    st = solver.initialize()
+    f0, g0 = solver._metrics(st)
+
+    # Warmup / compile.
+    st = solver._step(st, jnp.asarray(0, jnp.int32))
+    jax.block_until_ready(st.fobj)
+
+    n_iters = 50
+    t0 = time.perf_counter()
+    for k in range(1, n_iters + 1):
+        st = solver._step(st, jnp.asarray(k, jnp.int32))
+    jax.block_until_ready(st.fobj)
+    dt = time.perf_counter() - t0
+    ips = n_iters / dt
+
+    f1, g1 = solver._metrics(st)
+
+    prev_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_PREV.json")
+    vs = None
+    try:
+        with open(prev_file) as fh:
+            prev = json.load(fh)
+        if prev.get("value"):
+            vs = ips / prev["value"]
+    except Exception:
+        pass
+
+    print(json.dumps({
+        "metric": "sphere2500_8node_amm_iters_per_sec",
+        "value": round(ips, 3),
+        "unit": "iter/s",
+        "vs_baseline": vs,
+        "extra": {
+            "platform": platform,
+            "dtype": str(jnp.dtype(dtype)),
+            "fobj_init_2x": float(f0),
+            "fobj_after_%d_2x" % (n_iters + 1): float(f1),
+            "grad_after_2x": float(g1),
+        },
+    }))
+
+    try:
+        with open(prev_file, "w") as fh:
+            json.dump({"value": ips}, fh)
+    except Exception:
+        pass
+
+
+if __name__ == "__main__":
+    main()

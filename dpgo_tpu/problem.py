@@ -196,17 +196,46 @@ class NodeProblem:
         return f
 
     def surrogate_g_f(self, state: NodeState):
-        """Linear term g = (g_t, g_R) and constant f of G^a(.|Z) (trivial
-        loss; reference evaluate_none_g_and_f0, DPGOProblem.cpp:269-287)."""
+        """Linear term g = (g_t, g_R) and constant f of G^a(.|Z).
+
+        Unified over loss kernels: g = A_self^T (w r - 2 A_self z_self)
+        - xi z_a, where w is the IRLS weight at the anchor (1 for the trivial
+        loss, in which case w r - 2 A_s z_s = A_o z_o - A_s z_s and this is
+        the reference's S Z, evaluate_none_g_and_f0; for robust kernels it is
+        DfobjE - D Z of evaluate_g_and_f0, DPGOProblem.cpp:222-267 — the
+        static-rescale surrogate keeps the unweighted quadratic, valid since
+        w <= 1 for all supported kernels).
+
+        The constant f makes the surrogate touch the node objective at the
+        anchor: closed form for the trivial loss, F^a - 1/2<G z, z> - <g, z>
+        in general.
+        """
         (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
-        g_t, g_R = self.apply_A_self_T(u_o - u_s, E_o - E_s)
+        if self.loss is Loss.TRIVIAL:
+            g_t, g_R = self.apply_A_self_T(u_o - u_s, E_o - E_s)
+            g_t = g_t - self.xi * state.t
+            g_R = g_R - self.xi * state.R
+            du = u_s - u_o
+            dE = E_s - E_o
+            f = 0.25 * (jnp.sum(du * du) + jnp.sum(dE * dE)) \
+                + 0.5 * self.xi * (jnp.sum(state.t * state.t)
+                                   + jnp.sum(state.R * state.R))
+            return (g_t, g_R), f
+        u = u_s + u_o
+        E = E_s + E_o
+        s = jnp.sum(u * u, -1) + jnp.sum(E * E, (-1, -2))
+        w = loss_weight(self.loss, s, self.loss_reg)
+        g_t, g_R = self.apply_A_self_T(w[:, None] * u - 2.0 * u_s,
+                                       w[:, None, None] * E - 2.0 * E_s)
         g_t = g_t - self.xi * state.t
         g_R = g_R - self.xi * state.R
-        du = u_s - u_o
-        dE = E_s - E_o
-        f = 0.25 * (jnp.sum(du * du) + jnp.sum(dE * dE)) \
-            + 0.5 * self.xi * (jnp.sum(state.t * state.t)
-                               + jnp.sum(state.R * state.R))
+        # fobj share: intra + 1/4 sum rho(s) (each inter edge's 1/2 rho(s)
+        # global contribution is split half-half between endpoint nodes).
+        rt, rR = self.intra_residuals(state.t, state.R)
+        fobj = 0.5 * (jnp.sum(rt * rt) + jnp.sum(rR * rR)) \
+            + 0.25 * jnp.sum(loss_value(self.loss, s, self.loss_reg))
+        f = fobj - 0.5 * self.G_quad(state.t, state.R) \
+            - jnp.sum(g_t * state.t) - jnp.sum(g_R * state.R)
         return (g_t, g_R), f
 
     def G_quad(self, t, R):

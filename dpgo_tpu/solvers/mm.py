@@ -112,8 +112,13 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
     Nesterov/restart bookkeeping. `k` is the iteration index (0 at `first`)."""
 
     def per_node(p: NodeProblem, Z: NodeState, Z_prev: NodeState, Gk):
+        from dpgo_tpu.losses import Loss
         g, f_anchor = p.surrogate_g_f(Z)
-        if first:
+        if first or p.loss is not Loss.TRIVIAL:
+            # Robust kernels: evaluate the node objective directly (the
+            # reference telescopes through Q + E-gradient bookkeeping,
+            # evaluate_g_and_f, DPGOProblem.cpp:360-424; a direct edge-wise
+            # evaluation is exact and cheaper here).
             fobj = p.local_fobj(Z)
             f = f_anchor
         else:
@@ -253,13 +258,23 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         g = gamma.reshape((-1,) + (1,) * (cur.ndim - 1))
         return cur + g * (cur - prev)
 
-    # Nesterov extrapolation of the full Z and of (g, Df) — linear in Z for
-    # the trivial loss (DPGOHash.cpp:250-266).
+    # Nesterov extrapolation of the full Z; (g, Df) extrapolate linearly for
+    # the trivial loss, and are re-evaluated at Y for robust kernels
+    # (DPGOHash.cpp:250-266).
+    from dpgo_tpu.losses import Loss
     Y = jax.tree.map(extrap, st.Z, st.Z_prev)
-    g_t_ex = extrap(st.g_t, st.g_t_prev)
-    g_R_ex = extrap(st.g_R, st.g_R_prev)
-    Df_t_ex = extrap(st.Df_t, st.Df_t_prev)
-    Df_R_ex = extrap(st.Df_R, st.Df_R_prev)
+    if probs.loss is Loss.TRIVIAL:
+        g_t_ex = extrap(st.g_t, st.g_t_prev)
+        g_R_ex = extrap(st.g_R, st.g_R_prev)
+        Df_t_ex = extrap(st.Df_t, st.Df_t_prev)
+        Df_R_ex = extrap(st.Df_R, st.Df_R_prev)
+    else:
+        def reeval(p, Yn):
+            g, _ = p.surrogate_g_f(Yn)
+            Df = p.euclidean_Df(Yn, g=g)
+            return g[0], g[1], Df[0], Df[1]
+
+        g_t_ex, g_R_ex, Df_t_ex, Df_R_ex = jax.vmap(reeval)(probs, Y)
 
     refined = (((st.gradFnorm * st.gradFnorm / st.fobj) > opts.accepted_delta)
                | (st.num_osc >= opts.max_oscillations))
