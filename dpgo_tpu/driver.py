@@ -22,6 +22,7 @@ from dpgo_tpu.objective import EdgeData, evaluate_f, grad_norm
 from dpgo_tpu.problem import NodeProblem, NodeState, build_node_problems
 from dpgo_tpu.sesync import chordal_initialization, recover_translations_global
 from dpgo_tpu.solvers import mm as mm_mod
+from dpgo_tpu.solvers import star as star_mod
 from dpgo_tpu.solvers.mm import MMOptions, MMState, init_state
 
 
@@ -133,3 +134,46 @@ class DPGOSolver:
                 f, g = self._metrics(st)
                 history.append((k + 1, float(f), float(g)))
         return st, np.asarray(history)
+
+
+class DPGOStarSolver(DPGOSolver):
+    """AMM-PGO* — per-node accelerated steps with master-gated fallbacks
+    using the exact global objective (reference DPGOStar)."""
+
+    def _global_f(self, t_own, R_own):
+        t = t_own[self.node_of, self.local_of]
+        R = R_own[self.node_of, self.local_of]
+        return evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
+
+    def initialize(self, t=None, R=None):
+        if R is None:
+            R = chordal_initialization(self.meas)
+        if t is None:
+            t = recover_translations_global(self.meas, R)
+        Z = self.pack_global(t, R)
+        st = star_mod.init_star_state(self.probs, Z, 0.0)
+        st = st._replace(Z=communicate_star(st.Z, self.halo_owner,
+                                            self.halo_lpose),
+                         )
+        st = st._replace(Z_prev=st.Z,
+                         F=self._global_f(st.Z.t, st.Z.R))
+        return jax.jit(partial(star_mod.update_star, opts=self.opts,
+                               first=True))(self.probs, st)
+
+    def _step_impl(self, st, k):
+        st = star_mod.iterate_star(self.probs, st, self.opts,
+                                   self._global_f, k)
+        st = st._replace(Z=communicate_star(st.Z, self.halo_owner,
+                                            self.halo_lpose))
+        return star_mod.update_star(self.probs, st, self.opts, first=False)
+
+    def _metrics_impl(self, st):
+        t, R = self.gather_global(st)
+        f = evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
+        g = grad_norm(self.edges, t, R, self.loss, self.loss_reg)
+        return 2.0 * f, 2.0 * g
+
+
+def communicate_star(Z: NodeState, halo_owner, halo_lpose) -> NodeState:
+    return NodeState(t=Z.t, R=Z.R, th=Z.t[halo_owner, halo_lpose],
+                     Rh=Z.R[halo_owner, halo_lpose])

@@ -81,3 +81,15 @@ def test_amm_restart_machinery_touched():
     # restart machinery must keep it controlled).
     assert hist[-1, 1] <= hist[0, 1]
     assert hist[-1, 1] <= np.min(hist[:, 1]) + 1e-6
+
+
+def test_star_solver_matches_hash_on_easy_graph():
+    """AMM-PGO* and AMM-PGO# coincide while no restart triggers."""
+    from dpgo_tpu.driver import DPGOStarSolver
+    meas = read_g2o_file(dataset_path("tinyGrid3D.g2o"))
+    hash_solver = DPGOSolver(meas, num_nodes=2, opts=MMOptions())
+    star_solver = DPGOStarSolver(meas, num_nodes=2, opts=MMOptions())
+    _, hist_h = hash_solver.run(40, record_every=10)
+    _, hist_s = star_solver.run(40, record_every=10)
+    np.testing.assert_allclose(hist_s[:, 1], hist_h[:, 1], rtol=1e-6)
+    assert hist_s[-1, 2] < 0.5
