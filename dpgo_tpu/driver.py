@@ -89,9 +89,15 @@ class DPGOSolver:
         return t, R
 
     def initialize(self, t: np.ndarray | None = None,
-                   R: np.ndarray | None = None) -> MMState:
-        """Centralized chordal initialization unless (t, R) given
-        (dist_pgo.cpp:416-444)."""
+                   R: np.ndarray | None = None,
+                   dist_init: bool = False) -> MMState:
+        """Initialization: centralized chordal by default, or the 4-stage
+        distributed DChordal pipeline with dist_init=True
+        (dist_pgo.cpp:144-444)."""
+        if R is None and dist_init:
+            from dpgo_tpu.chordal import distributed_chordal_init
+            t, R = distributed_chordal_init(self.meas, self.num_nodes,
+                                            dtype=self.dtype)
         if R is None:
             R = chordal_initialization(self.meas)
         if t is None:

@@ -50,10 +50,18 @@ def _project_svd(A: jnp.ndarray) -> jnp.ndarray:
 
 
 def project_sod(A: jnp.ndarray) -> jnp.ndarray:
-    """Project [..., d, d] matrices onto SO(d) (closest in Frobenius norm)."""
+    """Project [..., d, d] matrices onto SO(d) (closest in Frobenius norm).
+
+    d = 2: closed form; d = 3: branch-free batched Newton-polar iteration
+    (ops/so3.py — the TPU analog of the reference's AVX 3x3 SVD kernels);
+    other d: SVD fallback.
+    """
     d = A.shape[-1]
     if d == 2:
         return project_so2(A)
+    if d == 3:
+        from dpgo_tpu.ops.so3 import polar_so3
+        return polar_so3(A)
     return _project_svd(A)
 
 
