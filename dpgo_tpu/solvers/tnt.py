@@ -4,17 +4,19 @@ preconditioned truncated CG, as fixed-shape JAX loops.
 Re-implements the reference's Optimization::Riemannian::TNT
 (C++/Optimization/include/Optimization/Riemannian/TNT.h:244-640) and
 LinearAlgebra::STPCG (IterativeSolvers.h:166-450) — the inner solver of every
-MM iteration — as `lax.while_loop`s over pytree states, so the whole refine
-step stays inside one jit and vmaps over the node axis.
+MM iteration and of the SE-Sync staircase — as `lax.while_loop`s over pytree
+states, so the whole refine step stays inside one jit and vmaps over the node
+axis.
 
-The optimization variable is the pair x = (t [n, d], R [n, d, d]); tangent
-vectors live in rotation space only (translations are eliminated through the
-retraction, cf. DPGOHash.cpp:270-320).
+Generic over pytree variables and tangent vectors: for DPGO the variable is
+(t [n, d], R [n, d, d]) with rotation-space tangents; for SE-Sync the
+variable is a Stiefel-product block Y [n, r, d] with its own tangents.
 """
 
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
@@ -47,11 +49,11 @@ class TNTParams:
 class TNTModel(NamedTuple):
     """Problem closures for TNT (all pure functions of pytrees).
 
-    objective(x) -> scalar G value
-    grad_and_nabla(x) -> (riem_grad [n,d,d], euclid_nabla [n,d,d])
-    hess_vp(x, nabla, v) -> [n,d,d]
-    precondition(x, v) -> [n,d,d]
-    retract(x, v) -> x' (re-solves translations)
+    objective(x) -> scalar value
+    grad_and_nabla(x) -> (riemannian_grad, euclidean_nabla) tangent pytrees
+    hess_vp(x, nabla, v) -> tangent pytree
+    precondition(x, v) -> tangent pytree
+    retract(x, v) -> new variable pytree
     """
 
     objective: Callable
@@ -62,7 +64,23 @@ class TNTModel(NamedTuple):
 
 
 def _ip(a, b):
-    return jnp.sum(a * b)
+    """Frobenius inner product over arbitrary pytrees of arrays."""
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    return sum(jnp.sum(x * y) for x, y in zip(la, lb))
+
+
+def _axpy(alpha, x, y):
+    """y + alpha * x treewise (alpha scalar)."""
+    return jax.tree.map(lambda a, b: b + alpha * a, x, y)
+
+
+def _scale(alpha, x):
+    return jax.tree.map(lambda a: alpha * a, x)
+
+
+def _sel(pred, a, b):
+    return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
 def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
@@ -79,10 +97,10 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
     Delta2 = Delta * Delta
 
     class S(NamedTuple):
-        s: jnp.ndarray
-        r: jnp.ndarray
-        v: jnp.ndarray
-        p: jnp.ndarray
+        s: object
+        r: object
+        v: object
+        p: object
         sk_M_pk: jnp.ndarray
         sk_M_2: jnp.ndarray
         pk_M_2: jnp.ndarray
@@ -90,7 +108,7 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
         done: jnp.ndarray
         norm_out: jnp.ndarray  # final |s|_M (set on boundary exits)
 
-    init = S(s=jnp.zeros_like(grad), r=grad, v=v0, p=-v0,
+    init = S(s=_scale(0.0, grad), r=grad, v=v0, p=_scale(-1.0, v0),
              sk_M_pk=jnp.zeros_like(r0v0), sk_M_2=jnp.zeros_like(r0v0),
              pk_M_2=r0v0, k=jnp.zeros((), jnp.int32),
              done=(r0_norm <= target) | (r0_norm == 0.0),
@@ -106,44 +124,40 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
         Hp_norm = jnp.sqrt(_ip(Hp, Hp))
         in_kernel = Hp_norm < eps * p_norm
 
-        # Boundary step length sigma (used by both boundary exits):
-        # ||s + sigma p||_M = Delta.
         def sigma_of(sk_M_pk):
             disc = sk_M_pk * sk_M_pk + st.pk_M_2 * (Delta2 - st.sk_M_2)
             return (-sk_M_pk + jnp.sqrt(jnp.maximum(disc, 0.0))) / st.pk_M_2
 
         # Kernel exit: follow p (sign-fixed to descent) to the boundary.
         p_desc = jnp.where(_ip(st.p, st.r) < 0, -1.0, 1.0)
-        sk_M_pk_k = st.sk_M_pk * p_desc
-        s_kernel = st.s + (sigma_of(sk_M_pk_k) * p_desc) * st.p
+        s_kernel = _axpy(sigma_of(st.sk_M_pk * p_desc) * p_desc, st.p, st.s)
 
         rv = _ip(st.r, st.v)
         alpha = rv / kappa_k
         sk1_M_2 = st.sk_M_2 + 2 * alpha * st.sk_M_pk \
             + alpha * alpha * st.pk_M_2
         bad = (kappa_k <= 0) | (sk1_M_2 > Delta2)
-        s_boundary = st.s + sigma_of(st.sk_M_pk) * st.p
+        s_boundary = _axpy(sigma_of(st.sk_M_pk), st.p, st.s)
 
         # Interior CG update.
-        s_new = st.s + alpha * st.p
-        r_new = st.r + alpha * Hp
+        s_new = _axpy(alpha, st.p, st.s)
+        r_new = _axpy(alpha, Hp, st.r)
         v_new = precon(r_new)
         rv_new = _ip(r_new, v_new)
         beta = rv_new / (alpha * kappa_k)
         sk_M_pk_new = beta * (st.sk_M_pk + alpha * st.pk_M_2)
         pk_M_2_new = rv_new + beta * beta * st.pk_M_2
-        p_new = -v_new + beta * st.p
+        p_new = _axpy(beta, st.p, _scale(-1.0, v_new))
         interior_done = jnp.sqrt(rv_new) <= target
 
         exit_boundary = in_kernel | bad
-        s_exit = jnp.where(in_kernel, s_kernel, s_boundary)
+        s_exit = _sel(in_kernel, s_kernel, s_boundary)
 
-        s_out = jnp.where(exit_boundary, s_exit, s_new)
         return S(
-            s=s_out,
-            r=jnp.where(exit_boundary, st.r, r_new),
-            v=jnp.where(exit_boundary, st.v, v_new),
-            p=jnp.where(exit_boundary, st.p, p_new),
+            s=_sel(exit_boundary, s_exit, s_new),
+            r=_sel(exit_boundary, st.r, r_new),
+            v=_sel(exit_boundary, st.v, v_new),
+            p=_sel(exit_boundary, st.p, p_new),
             sk_M_pk=jnp.where(exit_boundary, st.sk_M_pk, sk_M_pk_new),
             sk_M_2=jnp.where(exit_boundary, st.sk_M_2, sk1_M_2),
             pk_M_2=jnp.where(exit_boundary, st.pk_M_2, pk_M_2_new),
@@ -157,12 +171,11 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
     return out.s, norm, out.k
 
 
-class TNTResultState(NamedTuple):
-    t: jnp.ndarray
-    R: jnp.ndarray
+class TNTState(NamedTuple):
+    x: object
     fx: jnp.ndarray
-    grad: jnp.ndarray
-    nabla: jnp.ndarray
+    grad: object
+    nabla: object
     gradnorm: jnp.ndarray
     pgradnorm: jnp.ndarray
     Delta: jnp.ndarray
@@ -171,62 +184,58 @@ class TNTResultState(NamedTuple):
     done: jnp.ndarray
 
 
-def tnt(model: TNTModel, t0, R0, params: TNTParams):
-    """Run TNT from (t0, R0); returns (t, R, fx, gradnorm, num_accepted).
+def tnt_generic(model: TNTModel, x0, params: TNTParams):
+    """Run TNT from pytree variable x0.
 
-    Faithful to TNT.h:422-640: per outer iteration run STPCG, retract, gain
-    ratio test, trust-region update; stop on gradient tolerances, relative
-    decrease, stepsize, trust-region collapse, or max (accepted) iterations.
+    Returns (x, fx, gradnorm, num_accepted). Faithful to TNT.h:422-640.
     """
-    sqrt_eps = jnp.sqrt(jnp.finfo(t0.dtype).eps)
+    dtype = jax.tree.leaves(x0)[0].dtype
+    sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
 
-    def eval_at(t, R):
-        fx = model.objective((t, R))
-        grad, nabla = model.grad_and_nabla((t, R))
+    def eval_at(x):
+        fx = model.objective(x)
+        grad, nabla = model.grad_and_nabla(x)
         gradnorm = jnp.sqrt(_ip(grad, grad))
-        pg = model.precondition((t, R), grad)
+        pg = model.precondition(x, grad)
         pgradnorm = jnp.sqrt(_ip(pg, pg))
         return fx, grad, nabla, gradnorm, pgradnorm
 
-    fx0, grad0, nabla0, gn0, pgn0 = eval_at(t0, R0)
-    init = TNTResultState(
-        t=t0, R=R0, fx=fx0, grad=grad0, nabla=nabla0, gradnorm=gn0,
-        pgradnorm=pgn0, Delta=jnp.asarray(params.Delta0, t0.dtype),
+    fx0, grad0, nabla0, gn0, pgn0 = eval_at(x0)
+    init = TNTState(
+        x=x0, fx=fx0, grad=grad0, nabla=nabla0, gradnorm=gn0,
+        pgradnorm=pgn0, Delta=jnp.asarray(params.Delta0, dtype),
         k=jnp.zeros((), jnp.int32), accepted=jnp.zeros((), jnp.int32),
         done=jnp.zeros((), bool))
 
-    def cond(st: TNTResultState):
+    def cond(st: TNTState):
         return ((~st.done) & (st.k < params.max_iterations)
                 & (st.accepted < params.max_iterations_accepted))
 
-    def body(st: TNTResultState):
+    def body(st: TNTState):
         grad_small = ((st.gradnorm < params.gradient_tolerance)
                       | (st.pgradnorm
                          < params.preconditioned_gradient_tolerance))
 
-        x = (st.t, st.R)
         h, h_M_norm, _ = stpcg(
             st.grad,
-            lambda v: model.hess_vp(x, st.nabla, v),
-            lambda v: model.precondition(x, v),
+            lambda v: model.hess_vp(st.x, st.nabla, v),
+            lambda v: model.precondition(st.x, v),
             st.Delta, params)
         h_norm = jnp.sqrt(_ip(h, h))
 
-        t_prop, R_prop = model.retract(x, h)
-        fx_prop = model.objective((t_prop, R_prop))
-        dm = -_ip(st.grad, h) - 0.5 * _ip(h, model.hess_vp(x, st.nabla, h))
+        x_prop = model.retract(st.x, h)
+        fx_prop = model.objective(x_prop)
+        dm = -_ip(st.grad, h) - 0.5 * _ip(h, model.hess_vp(st.x, st.nabla, h))
         df = st.fx - fx_prop
         rel_decrease = df / (sqrt_eps + jnp.abs(st.fx))
         rho = df / dm
         step_ok = (~jnp.isnan(rho)) & (rho > params.eta1)
 
-        # Accepted branch: move and re-evaluate model.
-        fx_n, grad_n, nabla_n, gn_n, pgn_n = eval_at(t_prop, R_prop)
-        t_new = jnp.where(step_ok, t_prop, st.t)
-        R_new = jnp.where(step_ok, R_prop, st.R)
+        fx_n, grad_n, nabla_n, gn_n, pgn_n = eval_at(x_prop)
+        x_new = _sel(step_ok, x_prop, st.x)
         fx_new = jnp.where(step_ok, fx_prop, st.fx)
-        grad_new = jnp.where(step_ok, grad_n, st.grad)
-        nabla_new = jnp.where(step_ok, nabla_n, st.nabla)
+        grad_new = _sel(step_ok, grad_n, st.grad)
+        nabla_new = _sel(step_ok, nabla_n, st.nabla)
         gn_new = jnp.where(step_ok, gn_n, st.gradnorm)
         pgn_new = jnp.where(step_ok, pgn_n, st.pgradnorm)
 
@@ -241,14 +250,12 @@ def tnt(model: TNTModel, t0, R0, params: TNTParams):
                               jnp.where(step_ok, st.Delta, Delta_down))
         stop_delta = (~step_ok) & (Delta_new < params.Delta_tolerance)
 
-        # If the gradient was already small we never took this step.
         keep = ~grad_small
-        return TNTResultState(
-            t=jnp.where(keep, t_new, st.t),
-            R=jnp.where(keep, R_new, st.R),
+        return TNTState(
+            x=_sel(keep, x_new, st.x),
             fx=jnp.where(keep, fx_new, st.fx),
-            grad=jnp.where(keep, grad_new, st.grad),
-            nabla=jnp.where(keep, nabla_new, st.nabla),
+            grad=_sel(keep, grad_new, st.grad),
+            nabla=_sel(keep, nabla_new, st.nabla),
             gradnorm=jnp.where(keep, gn_new, st.gradnorm),
             pgradnorm=jnp.where(keep, pgn_new, st.pgradnorm),
             Delta=jnp.where(keep, Delta_new, st.Delta),
@@ -258,4 +265,11 @@ def tnt(model: TNTModel, t0, R0, params: TNTParams):
         )
 
     out = lax.while_loop(cond, body, init)
-    return out.t, out.R, out.fx, out.gradnorm, out.accepted
+    return out.x, out.fx, out.gradnorm, out.accepted
+
+
+def tnt(model: TNTModel, t0, R0, params: TNTParams):
+    """DPGO-shaped entry: variable (t, R); returns (t, R, fx, gradnorm,
+    num_accepted)."""
+    x, fx, gn, acc = tnt_generic(model, (t0, R0), params)
+    return x[0], x[1], fx, gn, acc
