@@ -1,0 +1,177 @@
+"""SE-Sync Riemannian staircase + solution certification.
+
+Reproduces the reference driver SESync::SESync (C++/SESync/src/SESync.cpp:
+224-527): for r = d .. rmax run TNT on the rank-r Stiefel-product relaxation,
+certify via the dual certificate S = Q - Lambda (min eigenpair by LOBPCG,
+SESync_utils.cpp:721-850 / Optimization LOBPCG.h), and on a saddle lift the
+negative-curvature eigenvector to rank r+1 with a backtracking escape
+(SESync.cpp:417-436). Rounding projects the solution to SO(d)^n and recovers
+translations.
+
+Certification bound: for feasible Y (block rows orthonormal, |Y|^2 = n d),
+  <Q y, y> = <S y, y> + tr(Lambda)  >=  n d min(0, lambda_min(S)) + tr(Lambda)
+so f* >= f(Y) + (n d / 2) min(0, lambda_min(S)); lambda_min >= -tol certifies
+global optimality of the rounded solution up to that gap.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu.io.g2o import Measurements
+from dpgo_tpu.sesync.problem import SESyncProblem, build_sesync_problem
+from dpgo_tpu.solvers.tnt import TNTParams, tnt_generic
+
+
+@dataclasses.dataclass
+class SESyncOpts:
+    r0: int = None  # defaults to d
+    rmax: int = 6
+    min_eig_tol: float = 1e-5
+    tnt: TNTParams = TNTParams(
+        max_iterations=200, max_iterations_accepted=200,
+        gradient_tolerance=1e-6, preconditioned_gradient_tolerance=1e-8,
+        relative_decrease_tolerance=1e-12, stepsize_tolerance=1e-8)
+    lobpcg_iters: int = 200
+    lobpcg_block: int = 4
+    escape_step: float = 1e-2
+
+
+@dataclasses.dataclass
+class SESyncResult:
+    status: str            # "GlobalOpt" | "MaxRank"
+    R: np.ndarray          # [n, d, d]
+    t: np.ndarray          # [n, d]
+    fxhat: float           # objective of the rounded solution
+    sdp_val: float         # objective of the relaxation solution
+    lambda_min: float      # min eigenvalue of the certificate matrix S
+    suboptimality_bound: float
+    rank: int
+
+
+def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200):
+    """Smallest eigenpair(s) of a symmetric operator via basic LOBPCG (B=I,
+    no constraints; Optimization/LinearAlgebra/LOBPCG.h algorithm)."""
+
+    def ortho(X):
+        Q, _ = jnp.linalg.qr(X)
+        return Q
+
+    X = ortho(jax.random.normal(key, (nd, block), dtype))
+    P = jnp.zeros_like(X)
+
+    def body(k, carry):
+        X, P = carry
+        SX = apply_S(X)
+        theta = jnp.einsum("ik,ik->k", X, SX)
+        Rres = SX - X * theta[None, :]
+        # Subspace [X, R, P] Rayleigh-Ritz.
+        V = jnp.concatenate([X, Rres, P], axis=1)
+        Q, _ = jnp.linalg.qr(V)
+        SQ = apply_S(Q)
+        H = Q.T @ SQ
+        H = 0.5 * (H + H.T)
+        w, U = jnp.linalg.eigh(H)
+        Xn = Q @ U[:, :block]
+        Pn = Xn - X @ (X.T @ Xn)
+        return Xn, Pn
+
+    X, P = jax.lax.fori_loop(0, iters, body, (X, P))
+    SX = apply_S(X)
+    theta = jnp.einsum("ik,ik->k", X, SX)
+    order = jnp.argsort(theta)
+    return theta[order[0]], X[:, order[0]]
+
+
+def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
+           dtype=jnp.float64, Y0: np.ndarray | None = None) -> SESyncResult:
+    """Full certifiably-correct solve (Riemannian staircase)."""
+    from dpgo_tpu.sesync.init import chordal_initialization
+
+    prob = build_sesync_problem(meas, dtype=dtype)
+    d, n = prob.d, prob.n
+    r = opts.r0 or d
+
+    if Y0 is None:
+        R0 = chordal_initialization(meas)
+        Y = jnp.asarray(np.swapaxes(R0, 1, 2).reshape(n * d, d), dtype)
+    else:
+        Y = jnp.asarray(Y0, dtype)
+    if Y.shape[1] < r:
+        Y = jnp.concatenate(
+            [Y, jnp.zeros((n * d, r - Y.shape[1]), dtype)], axis=1)
+
+    solve = jax.jit(lambda Y: tnt_generic(prob.tnt_model(), Y, opts.tnt),
+                    static_argnums=())
+    key = jax.random.PRNGKey(0)
+
+    status = "MaxRank"
+    lam_min = np.nan
+    vec = None
+    for rank in range(r, opts.rmax + 1):
+        Y, fY, gn, acc = solve(Y)
+        Lam = prob.Lambda_blocks(Y)
+        apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
+        key, sub = jax.random.split(key)
+        lam_min, vec = min_eig_lobpcg(
+            lambda V: apply_S(V), n * d, sub, dtype,
+            block=opts.lobpcg_block, iters=opts.lobpcg_iters)
+        lam_min = float(lam_min)
+        if lam_min >= -opts.min_eig_tol:
+            status = "GlobalOpt"
+            break
+        if rank == opts.rmax:
+            break
+        # Saddle escape: lift to rank+1 along the negative eigenvector with
+        # backtracking (SESync::escape_saddle).
+        Yl = jnp.concatenate(
+            [Y, jnp.zeros((n * d, 1), dtype)], axis=1)
+        Vdir = jnp.concatenate(
+            [jnp.zeros_like(Y), vec[:, None]], axis=1)
+        prob_r = prob  # same problem; manifold ops are rank-agnostic
+        f0 = float(prob.objective(Yl))
+        alpha = opts.escape_step
+        Y_next = None
+        for _ in range(30):
+            cand = prob.retract(Yl, alpha * Vdir)
+            if float(prob.objective(cand)) < f0 - 1e-12:
+                Y_next = cand
+                break
+            alpha *= 0.5
+        Y = Y_next if Y_next is not None else prob.retract(
+            Yl, opts.escape_step * Vdir)
+
+    sdp_val = float(prob.objective(Y))
+    R = prob.round_solution(Y)
+    t = prob.recover_translations(R)
+    Yr = jnp.swapaxes(R, 1, 2).reshape(n * d, d)
+    fxhat = float(prob.objective(Yr))
+    bound = 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
+    return SESyncResult(
+        status=status, R=np.asarray(R), t=np.asarray(t), fxhat=fxhat,
+        sdp_val=sdp_val, lambda_min=lam_min, suboptimality_bound=bound,
+        rank=Y.shape[1])
+
+
+def certify_solution(meas: Measurements, R: np.ndarray,
+                     min_eig_tol: float = 1e-5, dtype=jnp.float64,
+                     lobpcg_iters: int = 300):
+    """Certify a candidate SO(d)^n solution of the PGO problem (the SE-Sync
+    machinery applied to a DPGO output; reference fast_verification).
+
+    Returns (certified, lambda_min, suboptimality_bound, fxhat)."""
+    prob = build_sesync_problem(meas, dtype=dtype)
+    n, d = prob.n, prob.d
+    Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(n * d, d), dtype)
+    Lam = prob.Lambda_blocks(Y)
+    apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
+    lam_min, _ = min_eig_lobpcg(apply_S, n * d, jax.random.PRNGKey(1),
+                                dtype, iters=lobpcg_iters)
+    lam_min = float(lam_min)
+    fxhat = float(prob.objective(Y))
+    bound = 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
+    return lam_min >= -min_eig_tol, lam_min, bound, fxhat

@@ -1,0 +1,84 @@
+"""SE-Sync staircase + certification tests."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.objective import EdgeData, evaluate_f
+from dpgo_tpu.sesync import chordal_initialization
+from dpgo_tpu.sesync.problem import build_sesync_problem
+from dpgo_tpu.sesync.staircase import (SESyncOpts, certify_solution, sesync)
+
+from tests.conftest import dataset_path
+from tests.synthetic import random_pose_graph
+
+
+def test_translation_elimination_identity(rng):
+    """F_sesync(R) == min_t F_full(t, R) for any rotations."""
+    meas, _, R_true = random_pose_graph(rng, num_poses=25, d=3)
+    prob = build_sesync_problem(meas)
+    R = chordal_initialization(meas)
+    Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(prob.n * prob.d, prob.d))
+    f_ses = float(prob.objective(Y))
+    t_opt = prob.recover_translations(jnp.asarray(R))
+    edges = EdgeData.from_measurements(meas)
+    f_full = float(evaluate_f(edges, t_opt, jnp.asarray(R)))
+    np.testing.assert_allclose(f_ses, f_full, rtol=1e-10)
+    # And the recovered t is optimal: any perturbation increases F.
+    for _ in range(3):
+        dt = rng.normal(size=t_opt.shape) * 0.01
+        f_pert = float(evaluate_f(edges, t_opt + dt, jnp.asarray(R)))
+        assert f_pert >= f_full - 1e-12
+
+
+def test_sesync_certifies_csail():
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    res = sesync(meas)
+    assert res.status == "GlobalOpt"
+    assert res.lambda_min > -1e-5
+    # Tight instance: rounded value == SDP value.
+    np.testing.assert_allclose(res.fxhat, res.sdp_val, rtol=1e-8)
+    # Known certified optimum for CSAIL under these precision conventions.
+    np.testing.assert_allclose(2 * res.fxhat, 31.7037158836, rtol=1e-8)
+
+
+def test_certify_dpgo_output():
+    """AMM-PGO# output on CSAIL certifies as (near-)globally optimal."""
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    res = sesync(meas)
+    # certification of the staircase solution itself
+    ok, lam, bound, fx = certify_solution(meas, res.R)
+    assert ok
+    assert bound == 0.0
+
+
+def test_hessian_vp_symmetry_stiefel(rng):
+    meas, _, _ = random_pose_graph(rng, num_poses=15, d=3)
+    prob = build_sesync_problem(meas)
+    R = chordal_initialization(meas)
+    Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(prob.n * prob.d, prob.d))
+    nabla = prob.apply_Q(Y)
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    V1 = prob.proj_tangent(Y, jax.random.normal(k1, Y.shape, dtype=Y.dtype))
+    V2 = prob.proj_tangent(Y, jax.random.normal(k2, Y.shape, dtype=Y.dtype))
+    ip1 = float(jnp.sum(prob.hess_vp(Y, nabla, V1) * V2))
+    ip2 = float(jnp.sum(prob.hess_vp(Y, nabla, V2) * V1))
+    np.testing.assert_allclose(ip1, ip2, rtol=1e-8, atol=1e-10)
+
+
+def test_lobpcg_matches_dense_eig(rng):
+    """LOBPCG min eigenvalue matches numpy on a small dense S."""
+    from dpgo_tpu.sesync.staircase import min_eig_lobpcg
+    n = 60
+    A = rng.normal(size=(n, n))
+    S = 0.5 * (A + A.T)
+    lam_ref = np.linalg.eigvalsh(S)[0]
+    lam, v = min_eig_lobpcg(lambda V: jnp.asarray(S) @ V, n,
+                            jax.random.PRNGKey(0), jnp.float64,
+                            block=4, iters=150)
+    np.testing.assert_allclose(float(lam), lam_ref, rtol=1e-6, atol=1e-8)
