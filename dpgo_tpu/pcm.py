@@ -1,0 +1,193 @@
+"""Pairwise consistency maximization (PCM) outlier rejection.
+
+Reproduces the reference DPGO::PCM (C++/DPGO/include/DPGO/PCM.h,
+src/PCM.cpp) + the vendored Pattabiraman fast max-clique solvers
+(C++/PCM/fmc): for each node pair, build the pairwise-consistency graph of
+their inter-node measurements — edge (p, q) is consistent when the composed
+loop
+
+    T_p(i0<-j0) o T_est(j0<-j1) o T_q^{-1}(j1<-i1) o T_est(i1<-i0)
+
+is within tolerance of the identity (error = sqrt(kappa |R_loop - I|^2 +
+tau |t_loop|^2), PCM.cpp:226-230) — then select the maximum mutually
+consistent subset by max clique.
+
+The loop-error matrix is one batched einsum over all measurement pairs
+(device-friendly); the max-clique search runs on the host with bitset
+branch-and-bound (graphs are small: tens of inter edges per node pair).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu.graph import make_partition
+from dpgo_tpu.io.g2o import Measurements
+
+
+@dataclasses.dataclass(frozen=True)
+class PCMOptions:
+    tolerance: float = 0.2
+    weighted: bool = False
+    exact: bool = True
+    exact_limit: int = 64  # fall back to the heuristic above this size
+
+
+def pairwise_consistency(meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj,
+                         tolerance: float, weighted: bool) -> np.ndarray:
+    """Boolean consistency matrix for one node pair.
+
+    Inputs are alpha->beta oriented measurements (R [m,d,d], t [m,d]) and the
+    current estimates of their endpoint poses (ti/Ri in alpha, tj/Rj in
+    beta).
+    """
+    m, d = meas_t.shape
+    R_p = jnp.asarray(meas_R)
+    t_p = jnp.asarray(meas_t)
+    Ri = jnp.asarray(Ri)
+    Rj = jnp.asarray(Rj)
+    ti = jnp.asarray(ti)
+    tj = jnp.asarray(tj)
+
+    # B[p,q] = R_jp^T R_jq ; D[p,q] = R_iq^T R_ip
+    B = jnp.einsum("pba,qbc->pqac", Rj, Rj)
+    tB = jnp.einsum("pba,qb->pqa", Rj, tj) - jnp.einsum(
+        "pba,pb->pa", Rj, tj)[:, None, :]
+    # chain: A = T_p ; AB ; ABC with C = T_q^{-1} ; ABCD with D = T(i1<-i0)
+    AB_R = jnp.einsum("pab,pqbc->pqac", R_p, B)
+    AB_t = t_p[:, None, :] + jnp.einsum("pab,pqb->pqa", R_p, tB)
+    C_R = jnp.swapaxes(R_p, -1, -2)  # [q, d, d] -> used at index q
+    C_t = -jnp.einsum("qba,qb->qa", R_p, t_p)
+    ABC_R = jnp.einsum("pqab,qbc->pqac", AB_R, C_R)
+    ABC_t = AB_t + jnp.einsum("pqab,qb->pqa", AB_R, C_t)
+    D_R = jnp.einsum("qba,pbc->qpac", Ri, Ri)  # [q, p]: R_iq^T R_ip
+    D_t = jnp.einsum("qba,pb->qpa", Ri, ti) - jnp.einsum(
+        "qba,qb->qa", Ri, ti)[:, None, :]
+    R_loop = jnp.einsum("pqab,qpbc->pqac", ABC_R, D_R)
+    t_loop = ABC_t + jnp.einsum("pqab,qpb->pqa", ABC_R, D_t)
+
+    if weighted:
+        kap = 0.5 * (kappa[:, None] + kappa[None, :])
+        ta = 0.5 * (tau[:, None] + tau[None, :])
+    else:
+        kap = jnp.ones((m, m))
+        ta = jnp.ones((m, m))
+    err = jnp.sqrt(
+        kap * jnp.sum((R_loop - jnp.eye(d)) ** 2, axis=(-1, -2))
+        + ta * jnp.sum(t_loop ** 2, axis=-1))
+    adj = np.array(err <= tolerance)
+    np.fill_diagonal(adj, False)
+    return adj
+
+
+def max_clique_exact(adj: np.ndarray) -> np.ndarray:
+    """Exact max clique by bitset branch-and-bound with greedy-coloring
+    bound (Pattabiraman-style; fmc/findClique.h)."""
+    n = adj.shape[0]
+    if n == 0:
+        return np.zeros(0, dtype=bool)
+    nb = [0] * n
+    for v in range(n):
+        mask = 0
+        for u in np.nonzero(adj[v])[0]:
+            mask |= 1 << int(u)
+        nb[v] = mask
+
+    best = [0, 0]  # size, mask
+
+    # Order by degree descending for better pruning.
+    order = np.argsort(-adj.sum(axis=1))
+
+    def popcount(x):
+        return bin(x).count("1")
+
+    def expand(cand_mask, cur_mask, cur_size):
+        if cand_mask == 0:
+            if cur_size > best[0]:
+                best[0] = cur_size
+                best[1] = cur_mask
+            return
+        if cur_size + popcount(cand_mask) <= best[0]:
+            return
+        # Pick candidates in order.
+        m = cand_mask
+        while m:
+            v = (m & -m).bit_length() - 1
+            m &= m - 1
+            if cur_size + popcount(cand_mask) <= best[0]:
+                return
+            expand(cand_mask & nb[v], cur_mask | (1 << v), cur_size + 1)
+            cand_mask &= ~(1 << v)
+
+    full = (1 << n) - 1
+    expand(full, 0, 0)
+    out = np.zeros(n, dtype=bool)
+    for v in range(n):
+        if best[1] >> v & 1:
+            out[v] = True
+    return out
+
+
+def max_clique_heuristic(adj: np.ndarray) -> np.ndarray:
+    """Greedy heuristic: repeatedly add the highest-degree compatible vertex
+    (fmc maxCliqueHeu)."""
+    n = adj.shape[0]
+    out = np.zeros(n, dtype=bool)
+    if n == 0:
+        return out
+    deg = adj.sum(axis=1)
+    cand = np.ones(n, dtype=bool)
+    while cand.any():
+        scores = np.where(cand, deg, -1)
+        v = int(np.argmax(scores))
+        out[v] = True
+        cand &= adj[v]
+        cand[v] = False
+    return out
+
+
+def pcm_filter(meas: Measurements, num_nodes: int, t: np.ndarray,
+               R: np.ndarray, opts: PCMOptions = PCMOptions()
+               ) -> tuple[Measurements, np.ndarray]:
+    """Run PCM on every node pair's inter edges against the estimate (t, R).
+
+    Returns (filtered measurements, keep mask over the original edges).
+    Intra-node edges are always kept (the reference wires PCM on inter-node
+    loop closures only).
+    """
+    part = make_partition(meas.num_poses, num_nodes)
+    ni = part.node_of[meas.i]
+    nj = part.node_of[meas.j]
+    keep = np.ones(len(meas), dtype=bool)
+
+    inter = np.nonzero(ni != nj)[0]
+    pairs = {}
+    for e in inter:
+        a, b = sorted((int(ni[e]), int(nj[e])))
+        pairs.setdefault((a, b), []).append(int(e))
+
+    for (a, b), es in pairs.items():
+        es = np.asarray(es)
+        if len(es) < 2:
+            continue
+        # Orient alpha->beta.
+        flip = ni[es] != a
+        Rm = meas.R[es].copy()
+        tm = meas.t[es].copy()
+        Rm[flip] = np.swapaxes(Rm[flip], -1, -2)
+        tm[flip] = -np.einsum("eab,eb->ea", Rm[flip], meas.t[es][flip])
+        gi = np.where(flip, meas.j[es], meas.i[es])
+        gj = np.where(flip, meas.i[es], meas.j[es])
+        adj = pairwise_consistency(
+            Rm, tm, jnp.asarray(meas.kappa[es]), jnp.asarray(meas.tau[es]),
+            t[gi], R[gi], t[gj], R[gj], opts.tolerance, opts.weighted)
+        if opts.exact and len(es) <= opts.exact_limit:
+            mask = max_clique_exact(adj)
+        else:
+            mask = max_clique_heuristic(adj)
+        keep[es[~mask]] = False
+
+    return meas.select(keep), keep

@@ -1,0 +1,71 @@
+"""PCM outlier rejection tests."""
+
+import numpy as np
+import pytest
+
+from dpgo_tpu.graph import make_partition
+from dpgo_tpu.pcm import (PCMOptions, max_clique_exact, max_clique_heuristic,
+                          pcm_filter)
+
+from tests.synthetic import random_pose_graph
+
+
+def test_max_clique_exact_known():
+    # 5-cycle: max clique = 2; add a triangle 0-1-2 -> 3.
+    n = 5
+    adj = np.zeros((n, n), dtype=bool)
+    for k in range(n):
+        adj[k, (k + 1) % n] = adj[(k + 1) % n, k] = True
+    adj[0, 2] = adj[2, 0] = True
+    mask = max_clique_exact(adj)
+    assert mask.sum() == 3
+    sel = np.nonzero(mask)[0]
+    for a in sel:
+        for b in sel:
+            assert a == b or adj[a, b]
+
+
+def test_max_clique_random_vs_bruteforce(rng):
+    import itertools
+    for trial in range(5):
+        n = 12
+        adj = rng.random((n, n)) < 0.4
+        adj = adj & adj.T
+        np.fill_diagonal(adj, False)
+        mask = max_clique_exact(adj)
+        # brute force
+        best = 0
+        for r in range(n, 0, -1):
+            if best:
+                break
+            for sub in itertools.combinations(range(n), r):
+                ok = all(adj[a, b] for a, b in itertools.combinations(sub, 2))
+                if ok:
+                    best = r
+                    break
+        assert mask.sum() == best
+        # heuristic returns a valid clique no larger than the optimum
+        h = max_clique_heuristic(adj)
+        sel = np.nonzero(h)[0]
+        for a, b in itertools.combinations(sel, 2):
+            assert adj[a, b]
+        assert h.sum() <= best
+
+
+def test_pcm_rejects_outlier_edges(rng):
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=40, d=3,
+                                             loop_closures=40, noise=0.01)
+    part = make_partition(meas.num_poses, 2)
+    inter = np.nonzero(part.node_of[meas.i] != part.node_of[meas.j])[0]
+    assert len(inter) >= 6
+    # Corrupt two inter edges badly.
+    bad = inter[:2]
+    meas.t[bad] += 10.0
+    filtered, keep = pcm_filter(meas, 2, t_true, R_true,
+                                PCMOptions(tolerance=1.0))
+    assert not keep[bad].any()          # outliers rejected
+    good_inter = np.setdiff1d(inter, bad)
+    assert keep[good_inter].mean() > 0.8  # most inliers kept
+    # intra edges untouched
+    intra = np.nonzero(part.node_of[meas.i] == part.node_of[meas.j])[0]
+    assert keep[intra].all()
