@@ -1,0 +1,144 @@
+"""Command-line driver: the reference dist_pgo equivalent.
+
+Usage:
+    python -m dpgo_tpu.cli --dataset path.g2o --num_nodes 4 [--iters 1000]
+        [--dist_init true] [--loss trivial|huber|welsch] [--accelerated true]
+        [--solver hash|star] [--pcm] [--save true] [--f32]
+        [--checkpoint path.npz] [--checkpoint_every 100]
+
+Writes results_chordal_<N>_<amm|mm>.txt with rows `iter time fobj grad`
+(2x-scaled objective/gradient as in the reference, dist_pgo.cpp:492-553) and
+gauge-normalized estimates_<loss>.txt (first pose at origin/identity,
+dist_pgo.cpp:554-567).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def _bool(v: str) -> bool:
+    return str(v).lower() in ("1", "true", "yes", "on")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description="TPU-native distributed PGO")
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--num_nodes", type=int, required=True)
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--dist_init", type=_bool, default=True)
+    ap.add_argument("--loss", default="trivial",
+                    choices=["trivial", "huber", "geman_mcclure", "welsch"])
+    ap.add_argument("--loss_reg", type=float, default=0.25)
+    ap.add_argument("--accelerated", type=_bool, default=True)
+    ap.add_argument("--solver", default="hash", choices=["hash", "star"])
+    ap.add_argument("--pcm", action="store_true",
+                    help="PCM outlier rejection on inter edges before solving")
+    ap.add_argument("--pcm_tolerance", type=float, default=0.2)
+    ap.add_argument("--save", type=_bool, default=True)
+    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--certify", action="store_true",
+                    help="SE-Sync certification of the final estimate")
+    ap.add_argument("--checkpoint", default=None)
+    ap.add_argument("--checkpoint_every", type=int, default=100)
+    ap.add_argument("--record_every", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.losses import Loss
+    from dpgo_tpu.driver import DPGOSolver, DPGOStarSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+
+    dtype = jnp.float32 if args.f32 else jnp.float64
+    if not args.f32:
+        jax.config.update("jax_enable_x64", True)
+
+    meas = read_g2o_file(args.dataset)
+    loss = Loss(args.loss)
+    print(f"dataset: {args.dataset}  poses={meas.num_poses}  "
+          f"edges={len(meas)}  d={meas.d}")
+
+    if args.pcm:
+        from dpgo_tpu.pcm import PCMOptions, pcm_filter
+        from dpgo_tpu.sesync import (chordal_initialization,
+                                     recover_translations_global)
+        R0 = chordal_initialization(meas)
+        t0 = recover_translations_global(meas, R0)
+        meas, keep = pcm_filter(meas, args.num_nodes, t0, R0,
+                                PCMOptions(tolerance=args.pcm_tolerance))
+        print(f"PCM kept {keep.sum()}/{len(keep)} edges")
+
+    opts = MMOptions(accelerated=args.accelerated)
+    cls = DPGOStarSolver if args.solver == "star" else DPGOSolver
+    solver = cls(meas, num_nodes=args.num_nodes, opts=opts, loss=loss,
+                 loss_reg=args.loss_reg, dtype=dtype)
+
+    st = solver.initialize(dist_init=args.dist_init) \
+        if args.solver == "hash" else solver.initialize()
+    start_iter = 0
+    if args.checkpoint and os.path.exists(args.checkpoint):
+        from dpgo_tpu.checkpoint import load_state
+        st, start_iter = load_state(args.checkpoint, st)
+        print(f"resumed from {args.checkpoint} at iteration {start_iter}")
+
+    f, g = solver._metrics(st)
+    rows = [(start_iter, 0.0, float(f), float(g))]
+    print(f"{start_iter}: {float(f):.20g} {float(g):.20g}")
+
+    elapsed = 0.0
+    for k in range(start_iter, args.iters):
+        t_start = time.perf_counter()
+        st = solver._step(st, jnp.asarray(k, jnp.int32))
+        jax.block_until_ready(st.Z.t)
+        elapsed += time.perf_counter() - t_start
+        if (k + 1) % args.record_every == 0:
+            f, g = solver._metrics(st)
+            rows.append((k + 1, elapsed, float(f), float(g)))
+            print(f"{k + 1}: {float(f):.20g} {float(g):.20g}")
+        if args.checkpoint and (k + 1) % args.checkpoint_every == 0:
+            from dpgo_tpu.checkpoint import save_state
+            save_state(args.checkpoint, st, k + 1)
+
+    print("---------------------------------------")
+    print(f"final objective: {rows[-1][2]}")
+    print(f"final gradient: {rows[-1][3]}")
+    print(f"time: {elapsed / args.num_nodes} s/node.")
+
+    t_glob, R_glob = map(np.asarray, solver.gather_global(st))
+
+    if args.certify:
+        from dpgo_tpu.sesync.staircase import certify_solution
+        ok, lam, bound, fx = certify_solution(meas, R_glob)
+        print(f"certification: {'GLOBAL OPT' if ok else 'uncertified'} "
+              f"lambda_min={lam:.3e} suboptimality_bound={bound:.3e}")
+
+    if args.save:
+        name = f"results_chordal_{args.num_nodes}_" \
+               f"{'amm' if args.accelerated else 'mm'}.txt"
+        with open(name, "w") as fh:
+            for r in rows:
+                fh.write(f"{int(r[0])} {r[1]:.16g} {r[2]:.16g} "
+                         f"{r[3]:.16g}\n")
+        # Gauge-normalize: first pose at origin / identity.
+        t_n = t_glob - t_glob[0]
+        R0 = R_glob[0]
+        t_n = t_n @ R0
+        R_n = np.einsum("ba,nbc->nac", R0, R_glob)
+        with open(f"estimates_{args.loss}.txt", "w") as fh:
+            for p in range(meas.num_poses):
+                fh.write(" ".join(f"{v:.16g}" for v in t_n[p]) + "\n")
+            for p in range(meas.num_poses):
+                for r in range(meas.d):
+                    fh.write(" ".join(f"{v:.16g}"
+                                      for v in R_n[p, r]) + "\n")
+        print(f"wrote {name} and estimates_{args.loss}.txt")
+
+
+if __name__ == "__main__":
+    main()
