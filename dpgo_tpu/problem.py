@@ -89,6 +89,16 @@ class NodeProblem:
     null_V: jnp.ndarray      # [n0, kmax] (zero-padded columns)
     precon_inv: jnp.ndarray  # [n0, d, d] block-Jacobi preconditioner blocks
 
+    # Dense operator images for the TNT hot loop (MXU path). On TPU, chains
+    # of gather -> small-einsum -> scatter-add serialize badly; per-node
+    # systems are small (n0 d <= a few thousand), so the G blocks are
+    # materialized as dense matrices applied by single matmuls in tall
+    # Q-storage (Q = R^T blocks stacked, [n0 d, d]).  mG10 = mG01^T.
+    dense: bool = dataclasses.field(metadata=dict(static=True))
+    mG00_d: jnp.ndarray      # [n0, n0]
+    mG01_d: jnp.ndarray      # [n0, n0 d]
+    mG11_d: jnp.ndarray      # [n0 d, n0 d]
+
     # Intra edges.
     a_i: jnp.ndarray
     a_j: jnp.ndarray
@@ -441,6 +451,53 @@ class NodeProblem:
             2.0 * self.e_kap[:, None, None] * Ms + tail_extra)
         return out + self.xi * M
 
+    # ------------------------------------------------ dense (MXU) operators
+
+    def to_tall(self, R):
+        """[n, d, d] true-rotation blocks -> tall Q-storage [n d, d]."""
+        return jnp.swapaxes(R, -1, -2).reshape(-1, self.d)
+
+    def from_tall(self, Q):
+        return jnp.swapaxes(Q.reshape(-1, self.d, self.d), -1, -2)
+
+    def sym_block_tall(self, A, B, C):
+        """A_i sym(B_i C_i^T) per [d, d] block in tall storage."""
+        d = self.d
+        Ab = A.reshape(-1, d, d)
+        Bb = B.reshape(-1, d, d)
+        Cb = C.reshape(-1, d, d)
+        S = jnp.einsum("nar,nbr->nab", Bb, Cb)
+        S = 0.5 * (S + jnp.swapaxes(S, -1, -2))
+        return jnp.einsum("nab,nbr->nar", S, Ab).reshape(A.shape)
+
+    def proj_tall(self, Q, V):
+        return V - self.sym_block_tall(Q, Q, V)
+
+    def evaluate_G_tall(self, t, Q, g_t, g_Q, f):
+        """Dense-path surrogate value: 1/2 <G X, X> + <g, X> + f."""
+        quad = jnp.sum(t * (self.mG00_d @ t)) \
+            + 2.0 * jnp.sum(t * (self.mG01_d @ Q)) \
+            + jnp.sum(Q * (self.mG11_d @ Q))
+        return 0.5 * quad + jnp.sum(g_t * t) + jnp.sum(g_Q * Q) + f
+
+    def reduced_grad_tall(self, t, Q, g_Q):
+        return g_Q + self.mG01_d.T @ t + self.mG11_d @ Q
+
+    def hessian_vp_tall(self, Q, nablaQ, Qdot):
+        tdot = -self.solve_mG00(self.mG01_d @ Qdot)
+        E = self.mG01_d.T @ tdot + self.mG11_d @ Qdot
+        E = E - self.sym_block_tall(Qdot, Q, nablaQ)
+        return self.proj_tall(Q, E)
+
+    def precondition_tall(self, Q, V):
+        d = self.d
+        P = jnp.einsum("nab,nbr->nar", jnp.swapaxes(self.precon_inv, -1, -2),
+                       V.reshape(-1, d, d)).reshape(V.shape)
+        return self.proj_tall(Q, P)
+
+    def recover_translations_tall(self, Q, g_t):
+        return -self.solve_mG00(g_t + self.mG01_d @ Q)
+
     # ---------------------------------------------------- TNT building blocks
 
     def reduced_euclidean_grad(self, t, R, g_R):
@@ -467,6 +524,7 @@ class NodeProblem:
 def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
                         loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
                         precon_cond: float = 1e6,
+                        dense_limit: int = 4096,
                         dtype=jnp.float64) -> NodeProblem:
     """Build a stacked NodeProblem (leading node axis) from a MultiGraph.
 
@@ -554,6 +612,55 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     jac_reg = jac + reg[:, None, None, None] * np.eye(d)
     precon_inv = np.linalg.inv(jac_reg)
 
+    # Dense operator images for the MXU TNT path (tall Q-storage).
+    dense = n0m * d <= dense_limit
+    if dense:
+        nd = n0m * d
+        mG01_d = np.zeros((N, n0m, nd))
+        mG11_d = np.zeros((N, nd, nd))
+        for a in range(N):
+            ii, jj = mg.a_i[a], mg.a_j[a]
+            tau = mg.a_tau[a] * mg.a_mask[a]
+            kap = mg.a_kap[a] * mg.a_mask[a]
+            tt = mg.a_t[a]
+            Rm = mg.a_R[a]
+            # mG01: row t_i += tau t~^T in Q_i cols; row t_j -= same.
+            for e in range(mg.m0_max):
+                if not mg.a_mask[a][e]:
+                    continue
+                i, j = int(ii[e]), int(jj[e])
+                mG01_d[a, i, i * d:(i + 1) * d] += tau[e] * tt[e]
+                mG01_d[a, j, i * d:(i + 1) * d] -= tau[e] * tt[e]
+                bi = slice(i * d, (i + 1) * d)
+                bj = slice(j * d, (j + 1) * d)
+                mG11_d[a, bi, bi] += kap[e] * np.eye(d) \
+                    + tau[e] * np.outer(tt[e], tt[e])
+                mG11_d[a, bj, bj] += kap[e] * np.eye(d)
+                mG11_d[a, bi, bj] += -kap[e] * Rm[e]
+                mG11_d[a, bj, bi] += -kap[e] * Rm[e].T
+            es = mg.e_self[a]
+            etau = mg.e_tau[a] * mg.e_mask[a]
+            ekap = mg.e_kap[a] * mg.e_mask[a]
+            ett = mg.e_t[a]
+            for e in range(mg.m1_max):
+                if not mg.e_mask[a][e]:
+                    continue
+                s_ = int(es[e])
+                bs = slice(s_ * d, (s_ + 1) * d)
+                mG11_d[a, bs, bs] += 2 * ekap[e] * np.eye(d)
+                if mg.e_self_is_i[a][e]:
+                    mG01_d[a, s_, bs] += 2 * etau[e] * ett[e]
+                    mG11_d[a, bs, bs] += 2 * etau[e] * np.outer(
+                        ett[e], ett[e])
+            mG11_d[a][np.diag_indices(nd)] += xi
+        mG01_d = mG01_d.reshape(N, n0m, nd)
+        mG00_full = mG00 + xi * np.where(
+            mg.pose_mask, 1.0, 0.0)[:, :, None] * np.eye(n0m)
+    else:
+        mG01_d = np.zeros((N, 1, 1))
+        mG11_d = np.zeros((N, 1, 1))
+        mG00_full = np.zeros((N, 1, 1))
+
     cast = lambda x: jnp.asarray(x, dtype)
     return NodeProblem(
         d=d, xi=xi, loss=loss, loss_reg=loss_reg,
@@ -561,6 +668,8 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         diagT_inv=cast(Tinv), nvec=cast(nvec), W=cast(W),
         Minv_red=cast(Minv_red), null_V=cast(null_V),
         precon_inv=cast(precon_inv),
+        dense=dense, mG00_d=cast(mG00_full), mG01_d=cast(mG01_d),
+        mG11_d=cast(mG11_d),
         a_i=jnp.asarray(mg.a_i), a_j=jnp.asarray(mg.a_j),
         a_R=cast(mg.a_R), a_t=cast(mg.a_t),
         a_kap=cast(mg.a_kap), a_tau=cast(mg.a_tau),

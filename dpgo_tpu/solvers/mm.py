@@ -27,7 +27,7 @@ from jax import lax
 
 from dpgo_tpu.manifold import proj_tangent, project_sod
 from dpgo_tpu.problem import NodeProblem, NodeState
-from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt
+from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt, tnt_generic
 
 OSC_BUF = 17  # oscillation_cnt_period (15) + 2
 
@@ -215,11 +215,43 @@ def _make_tnt_model(p: NodeProblem, g_t, g_R, f) -> TNTModel:
                     retract=retract)
 
 
+def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f) -> TNTModel:
+    """Dense MXU TNT model in tall Q-storage (variable (t, Q [n d, d]))."""
+
+    def objective(x):
+        return p.evaluate_G_tall(x[0], x[1], g_t, g_Q, f)
+
+    def grad_and_nabla(x):
+        nabla = p.reduced_grad_tall(x[0], x[1], g_Q)
+        return p.proj_tall(x[1], nabla), nabla
+
+    def hess_vp(x, nabla, v):
+        return p.hessian_vp_tall(x[1], nabla, v)
+
+    def precondition(x, v):
+        return p.precondition_tall(x[1], v)
+
+    def retract(x, h):
+        Qb = (x[1] + h).reshape(-1, p.d, p.d)
+        Q_new = project_sod(Qb).reshape(x[1].shape)
+        return p.recover_translations_tall(Q_new, g_t), Q_new
+
+    return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
+                    hess_vp=hess_vp, precondition=precondition,
+                    retract=retract)
+
+
 def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams):
-    def one(p, t, R, gt, gR, fv):
-        model = _make_tnt_model(p, gt, gR, fv)
-        tn, Rn, fx, _, _ = tnt(model, t, R, params)
-        return tn, Rn, fx
+    if probs.dense:
+        def one(p, t, R, gt, gR, fv):
+            model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv)
+            x, fx, _, _ = tnt_generic(model, (t, p.to_tall(R)), params)
+            return x[0], p.from_tall(x[1]), fx
+    else:
+        def one(p, t, R, gt, gR, fv):
+            model = _make_tnt_model(p, gt, gR, fv)
+            tn, Rn, fx, _, _ = tnt(model, t, R, params)
+            return tn, Rn, fx
 
     return jax.vmap(one)(probs, t0, R0, g_t, g_R, f)
 

@@ -282,3 +282,39 @@ def test_hessian_vp_symmetric_and_fd(rng):
     ip1 = float(jnp.sum(H1 * V2))
     ip2 = float(jnp.sum(H2 * V1))
     np.testing.assert_allclose(ip1, ip2, rtol=1e-8, atol=1e-10)
+
+
+def test_dense_operators_match_edgewise(rng):
+    """The MXU dense operator images agree with the edge-wise operators."""
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-4)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    assert probs.dense
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+        Q = p.to_tall(z.R)
+        # mG01 / mG11 actions.
+        np.testing.assert_allclose(np.asarray(p.mG01_d @ Q),
+                                   np.asarray(p.mG01_apply(z.R)), atol=1e-9)
+        np.testing.assert_allclose(
+            np.asarray(p.from_tall(p.mG11_d @ Q)),
+            np.asarray(p.mG11_apply(z.R)), atol=1e-9)
+        v = np.asarray(jax.random.normal(jax.random.PRNGKey(a), z.t.shape))
+        np.testing.assert_allclose(
+            np.asarray(p.from_tall(p.mG01_d.T @ jnp.asarray(v))),
+            np.asarray(p.mG10_apply(jnp.asarray(v))), atol=1e-9)
+        # Surrogate value parity.
+        g, f = p.surrogate_g_f(z)
+        val_dense = float(p.evaluate_G_tall(z.t, Q, g[0], p.to_tall(g[1]), f))
+        val_edge = float(p.evaluate_G(z.t, z.R, g, f))
+        np.testing.assert_allclose(val_dense, val_edge, rtol=1e-10)
+        # Hessian-vp parity.
+        V = proj_tangent(z.R, jax.random.normal(jax.random.PRNGKey(7 + a),
+                                                z.R.shape, dtype=z.R.dtype))
+        nabla_e = p.reduced_euclidean_grad(z.t, z.R, g[1])
+        h_edge = p.reduced_hessian_vp(z.R, nabla_e, V)
+        nabla_d = p.reduced_grad_tall(z.t, Q, p.to_tall(g[1]))
+        h_dense = p.from_tall(p.hessian_vp_tall(Q, nabla_d, p.to_tall(V)))
+        np.testing.assert_allclose(np.asarray(h_dense), np.asarray(h_edge),
+                                   atol=1e-8)
