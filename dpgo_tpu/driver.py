@@ -110,10 +110,11 @@ class DPGOSolver:
     # ----------------------------------------------------------- stepping
 
     def _step_impl(self, st: MMState, k):
+        probs_w = mm_mod.reweighted_problems(self.probs, st, self.opts)
         if self.opts.accelerated:
-            st = mm_mod.iterate_amm(self.probs, st, self.opts, k)
+            st = mm_mod.iterate_amm(probs_w, st, self.opts, k)
         else:
-            st = mm_mod.iterate_mm(self.probs, st, self.opts, k)
+            st = mm_mod.iterate_mm(probs_w, st, self.opts, k)
         st = communicate(st, self.halo_owner, self.halo_lpose)
         # Z_prev (stamped inside iterate) is the previous anchor including the
         # halo of the previous round's communicate — exactly the reference's

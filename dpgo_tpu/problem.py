@@ -99,6 +99,20 @@ class NodeProblem:
     mG01_d: jnp.ndarray      # [n0, n0 d]
     mG11_d: jnp.ndarray      # [n0 d, n0 d]
 
+    # Dynamic rescale (Rescale::Dynamic): persisted per-inter-edge surrogate
+    # weights w_bar (DiagReScale in the reference, DPGOProblem.cpp:751-840).
+    # The quadratic surrogate's inter contributions scale by w_bar while
+    # residual/gradient evaluations keep unit measurement weights; the
+    # translation system picks up a diagonal delta handled by preconditioned
+    # CG against the base split-inverse (replacing the reference's CHOLMOD
+    # refactorization on every rescale).
+    dynamic: bool = dataclasses.field(metadata=dict(static=True))
+    scale_w: jnp.ndarray     # [m1] in [min_rescale, 1]
+    ipose: jnp.ndarray       # [kmax] poses with inter edges (padded with 0)
+    imask: jnp.ndarray       # [kmax] bool
+    SU: jnp.ndarray          # [n0, kmax] base-inverse columns at ipose
+    wood_C: jnp.ndarray      # [kmax, kmax] Woodbury core (set by with_weights)
+
     # Intra edges.
     a_i: jnp.ndarray
     a_j: jnp.ndarray
@@ -235,8 +249,10 @@ class NodeProblem:
         E = E_s + E_o
         s = jnp.sum(u * u, -1) + jnp.sum(E * E, (-1, -2))
         w = loss_weight(self.loss, s, self.loss_reg)
-        g_t, g_R = self.apply_A_self_T(w[:, None] * u - 2.0 * u_s,
-                                       w[:, None, None] * E - 2.0 * E_s)
+        sw = self.scale_w
+        g_t, g_R = self.apply_A_self_T(
+            w[:, None] * u - 2.0 * sw[:, None] * u_s,
+            w[:, None, None] * E - 2.0 * sw[:, None, None] * E_s)
         g_t = g_t - self.xi * state.t
         g_R = g_R - self.xi * state.R
         # fobj share: intra + 1/4 sum rho(s) (each inter edge's 1/2 rho(s)
@@ -253,7 +269,9 @@ class NodeProblem:
         rt, rR = self.intra_residuals(t, R)
         q = jnp.sum(rt * rt) + jnp.sum(rR * rR)
         u_s, E_s = self._self_half(t, R)
-        q = q + 2.0 * (jnp.sum(u_s * u_s) + jnp.sum(E_s * E_s))
+        q = q + 2.0 * jnp.sum(
+            self.scale_w * (jnp.sum(u_s * u_s, -1)
+                            + jnp.sum(E_s * E_s, (-1, -2))))
         q = q + self.xi * (jnp.sum(t * t) + jnp.sum(R * R))
         return q
 
@@ -290,9 +308,11 @@ class NodeProblem:
             "eab,ecb->eac", E, self.a_R)
         Df_t = Df_t.at[self.a_i].add(u).at[self.a_j].add(-u)
         Df_R = Df_R.at[self.a_i].add(Gi).at[self.a_j].add(-E)
-        # inter: 2 A_self^T A_self x_self.
+        # inter: 2 w_bar A_self^T A_self x_self.
         u_s, E_s = self._self_half(t, R)
-        g2t, g2R = self.apply_A_self_T(2.0 * u_s, 2.0 * E_s)
+        g2t, g2R = self.apply_A_self_T(
+            2.0 * self.scale_w[:, None] * u_s,
+            2.0 * self.scale_w[:, None, None] * E_s)
         Df_t = Df_t + g2t + self.xi * t
         Df_R = Df_R + g2R + self.xi * R
         return Df_t, Df_R
@@ -373,10 +393,16 @@ class NodeProblem:
         return t_new, R_new
 
     def solve_mG00(self, rhs):
-        """Apply the split inverse of mG00 = L + xi I to rhs [n0, d]."""
+        """Apply the inverse of the translation block to rhs [n0, d]:
+        split inverse of the base system, plus (dynamic rescale) the Woodbury
+        correction for the diagonal weight delta."""
         out = jnp.einsum("pq,qa->pa", self.Minv_red, rhs)
         c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
-        return out + jnp.einsum("pk,ka->pa", self.null_V, c)
+        out = out + jnp.einsum("pk,ka->pa", self.null_V, c)
+        if self.dynamic:
+            corr = jnp.einsum("kl,la->ka", self.wood_C, out[self.ipose])
+            out = out - jnp.einsum("pk,ka->pa", self.SU, corr)
+        return out
 
     def recover_translations(self, R, g_t):
         """t = -mG00^{-1} (g_t + mG01 R) (reference recover_translations,
@@ -395,8 +421,8 @@ class NodeProblem:
         out = jnp.zeros((n0, self.d), M.dtype)
         out = out.at[self.a_i].add(v).at[self.a_j].add(-v)
         w = jnp.where(self.e_self_is_i[:, None],
-                      2.0 * self.e_tau[:, None] * jnp.einsum(
-                          "eab,eb->ea", M[self.e_self], self.e_t),
+                      2.0 * (self.scale_w * self.e_tau)[:, None]
+                      * jnp.einsum("eab,eb->ea", M[self.e_self], self.e_t),
                       0.0)
         out = out.at[self.e_self].add(w)
         return out
@@ -415,7 +441,7 @@ class NodeProblem:
         out = out.at[self.a_i].add(blk)
         blk2 = jnp.where(
             self.e_self_is_i[:, None, None],
-            2.0 * self.e_tau[:, None, None] *
+            2.0 * (self.scale_w * self.e_tau)[:, None, None] *
             v[self.e_self][:, :, None] * self.e_t[:, None, :],
             0.0)
         out = out.at[self.e_self].add(blk2)
@@ -444,11 +470,12 @@ class NodeProblem:
         Ms = M[self.e_self]
         tail_extra = jnp.where(
             self.e_self_is_i[:, None, None],
-            2.0 * self.e_tau[:, None, None] * jnp.einsum(
+            2.0 * (self.scale_w * self.e_tau)[:, None, None] * jnp.einsum(
                 "eab,eb->ea", Ms, self.e_t)[:, :, None] * self.e_t[:, None, :],
             0.0)
         out = out.at[self.e_self].add(
-            2.0 * self.e_kap[:, None, None] * Ms + tail_extra)
+            2.0 * (self.scale_w * self.e_kap)[:, None, None] * Ms
+            + tail_extra)
         return out + self.xi * M
 
     # ------------------------------------------------ dense (MXU) operators
@@ -516,6 +543,81 @@ class NodeProblem:
         """Block-Jacobi preconditioner + tangent projection
         (reference RegularizedCholesky, DPGOProblem.cpp:579-598)."""
         return proj_tangent(R, jnp.einsum("pab,pbc->pac", V, self.precon_inv))
+
+
+def with_weights(base: NodeProblem, w_bar: jnp.ndarray) -> NodeProblem:
+    """Return a re-weighted problem for dynamic rescale (pure, on-device).
+
+    `base` must be the problem as built (scale_w = 1); w_bar [m1] are the new
+    persisted surrogate weights (DiagReScale). Recomputes the proximal
+    constants (DiagT, nvec, W), the Woodbury core for the translation solve,
+    and the dense operator images. Mirrors the reference's
+    update_quadratic_mat + CHOLMOD refactorize (DPGOProblem.cpp:751-840).
+    """
+    d = base.d
+    n0 = base.pose_mask.shape[0]
+    dtype = base.diagT_inv.dtype
+    eye = jnp.eye(d, dtype=dtype)
+
+    # ---- pose-level auxiliary quantities, rebuilt from edge arrays.
+    diagT = jnp.full((n0,), 1.5 * base.xi, dtype)
+    a_t2 = 2.0 * base.a_tau
+    diagT = diagT.at[base.a_i].add(a_t2).at[base.a_j].add(a_t2)
+    e_t2 = 2.0 * w_bar * base.e_tau
+    diagT = diagT.at[base.e_self].add(e_t2)
+
+    nvec = jnp.zeros((n0, d), dtype)
+    nvec = nvec.at[base.a_i].add(a_t2[:, None] * base.a_t)
+    nvec = nvec.at[base.e_self].add(
+        jnp.where(base.e_self_is_i[:, None], e_t2[:, None] * base.e_t, 0.0))
+
+    S = 1.5 * base.xi * jnp.tile(eye, (n0, 1, 1))
+    a_k2 = 2.0 * base.a_kap
+    S = S.at[base.a_i].add(a_k2[:, None, None] * eye
+                           + a_t2[:, None, None]
+                           * base.a_t[:, :, None] * base.a_t[:, None, :])
+    S = S.at[base.a_j].add(a_k2[:, None, None] * eye)
+    e_k2 = 2.0 * w_bar * base.e_kap
+    S = S.at[base.e_self].add(
+        e_k2[:, None, None] * eye
+        + jnp.where(base.e_self_is_i[:, None, None],
+                    e_t2[:, None, None]
+                    * base.e_t[:, :, None] * base.e_t[:, None, :], 0.0))
+
+    Tinv = 1.0 / diagT
+    W = S - Tinv[:, None, None] * nvec[:, :, None] * nvec[:, None, :]
+
+    # ---- Woodbury core for the translation solve.
+    delta = jnp.zeros((n0,), dtype).at[base.e_self].add(
+        2.0 * base.e_tau * (w_bar - 1.0))
+    D = delta[base.ipose] * base.imask
+    UtSU = base.SU[base.ipose]  # [k, k]
+    k = D.shape[0]
+    A = jnp.eye(k, dtype=dtype) + UtSU * D[None, :]
+    wood_C = D[:, None] * jnp.linalg.inv(A)
+
+    repl = dict(dynamic=True, scale_w=w_bar, diagT_inv=Tinv, nvec=nvec, W=W,
+                wood_C=wood_C)
+
+    # ---- dense operator deltas (relative to base's unit weights).
+    if base.dense:
+        dw = w_bar - base.scale_w
+        es = base.e_self
+        ar = jnp.arange(d)
+        r_idx = (es * d)[:, None, None] + ar[None, :, None]
+        c_idx = (es * d)[:, None, None] + ar[None, None, :]
+        v11 = (2.0 * dw * base.e_kap)[:, None, None] * eye + jnp.where(
+            base.e_self_is_i[:, None, None],
+            (2.0 * dw * base.e_tau)[:, None, None]
+            * base.e_t[:, :, None] * base.e_t[:, None, :], 0.0)
+        mG11_d = base.mG11_d.at[r_idx, c_idx].add(v11)
+        v01 = jnp.where(base.e_self_is_i[:, None],
+                        (2.0 * dw * base.e_tau)[:, None] * base.e_t, 0.0)
+        mG01_d = base.mG01_d.at[es[:, None], c_idx[:, 0, :]].add(v01)
+        mG00_d = base.mG00_d.at[es, es].add(2.0 * dw * base.e_tau)
+        repl.update(mG11_d=mG11_d, mG01_d=mG01_d, mG00_d=mG00_d)
+
+    return dataclasses.replace(base, **repl)
 
 
 # ------------------------------------------------------------------ builders
@@ -661,6 +763,22 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         mG11_d = np.zeros((N, 1, 1))
         mG00_full = np.zeros((N, 1, 1))
 
+    # Inter-pose selector + base-inverse columns for the dynamic-rescale
+    # Woodbury translation solve.
+    ipose_list = [np.unique(mg.e_self[a][mg.e_mask[a]]) for a in range(N)]
+    kmax = max([len(v) for v in ipose_list] + [1])
+    ipose = np.zeros((N, kmax), np.int32)
+    imask = np.zeros((N, kmax), bool)
+    SU = np.zeros((N, n0m, kmax))
+    for a in range(N):
+        k = len(ipose_list[a])
+        ipose[a, :k] = ipose_list[a]
+        imask[a, :k] = True
+        if k:
+            cols = ipose_list[a]
+            SU[a][:, :k] = Minv_red[a][:, cols] \
+                + null_V[a] @ null_V[a][cols, :].T / xi
+
     cast = lambda x: jnp.asarray(x, dtype)
     return NodeProblem(
         d=d, xi=xi, loss=loss, loss_reg=loss_reg,
@@ -670,6 +788,9 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         precon_inv=cast(precon_inv),
         dense=dense, mG00_d=cast(mG00_full), mG01_d=cast(mG01_d),
         mG11_d=cast(mG11_d),
+        dynamic=False, scale_w=jnp.ones((N, mg.m1_max), dtype),
+        ipose=jnp.asarray(ipose), imask=jnp.asarray(imask),
+        SU=cast(SU), wood_C=jnp.zeros((N, kmax, kmax), dtype),
         a_i=jnp.asarray(mg.a_i), a_j=jnp.asarray(mg.a_j),
         a_R=cast(mg.a_R), a_t=cast(mg.a_t),
         a_kap=cast(mg.a_kap), a_tau=cast(mg.a_tau),

@@ -40,6 +40,10 @@ class MMOptions:
     accelerated: bool = True
     regularizer: float = 1e-11
     accepted_delta: float = 5e-4
+    rescale: str = "static"          # "static" | "dynamic" (robust losses)
+    max_rescale_count: int = 5
+    min_rescale: float = 0.01
+    max_rescale: float = 1.0
     eta0: float = 5e-4
     eta1: float = 2.5e-2
     psi: float = 1e-10
@@ -81,6 +85,9 @@ class MMState(NamedTuple):
     hits1: jnp.ndarray
     osc_buf: jnp.ndarray    # [N, OSC_BUF] int32, newest last
     num_osc: jnp.ndarray    # [N] int32
+    # Dynamic rescale (robust losses): persisted surrogate weights + counter.
+    scale_w: jnp.ndarray       # [N, m1]
+    rescale_count: jnp.ndarray  # [N] int32
 
 
 def init_state(probs: NodeProblem, Z: NodeState) -> MMState:
@@ -100,7 +107,19 @@ def init_state(probs: NodeProblem, Z: NodeState) -> MMState:
         hits0=jnp.zeros((N,), jnp.int32), hits1=jnp.zeros((N,), jnp.int32),
         osc_buf=jnp.ones((N, OSC_BUF), jnp.int32),
         num_osc=jnp.zeros((N,), jnp.int32),
+        scale_w=jnp.ones_like(probs.scale_w),
+        rescale_count=jnp.zeros((N,), jnp.int32),
     )
+
+
+def reweighted_problems(probs: NodeProblem, st: MMState, opts: MMOptions):
+    """Problems with the state's persisted dynamic-rescale weights applied
+    (identity when static / trivial loss)."""
+    from dpgo_tpu.losses import Loss
+    from dpgo_tpu.problem import with_weights
+    if opts.rescale != "dynamic" or probs.loss is Loss.TRIVIAL:
+        return probs
+    return jax.vmap(with_weights)(probs, st.scale_w)
 
 
 # --------------------------------------------------------------------- update
@@ -109,7 +128,22 @@ def init_state(probs: NodeProblem, Z: NodeState) -> MMState:
 def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
                  k: jnp.ndarray, first: bool) -> MMState:
     """DPGOHash::update — recompute surrogate anchors at the new Z and run the
-    Nesterov/restart bookkeeping. `k` is the iteration index (0 at `first`)."""
+    Nesterov/restart bookkeeping. `k` is the iteration index (0 at `first`).
+
+    `probs` must be the BASE problems; the dynamic-rescale path recomputes
+    the persisted weights here (evaluate_g_and_f0_rescale trigger,
+    DPGOProblem.cpp:301-321) and reweights before the surrogate evaluations.
+    """
+    from dpgo_tpu.losses import Loss
+    if opts.rescale == "dynamic" and probs.loss is not Loss.TRIVIAL:
+        w_cur, _ = jax.vmap(lambda p, Z: p.inter_weights(Z))(probs, st.Z)
+        exceeded = jnp.any(w_cur > st.scale_w, axis=1)
+        rescaled = (st.rescale_count >= opts.max_rescale_count) | exceeded
+        w_new = jnp.clip(1.25 * w_cur, opts.min_rescale, opts.max_rescale)
+        scale_w = jnp.where(rescaled[:, None], w_new, st.scale_w)
+        rescale_count = jnp.where(rescaled, 0, st.rescale_count + 1)
+        st = st._replace(scale_w=scale_w, rescale_count=rescale_count)
+        probs = reweighted_problems(probs, st, opts)
 
     def per_node(p: NodeProblem, Z: NodeState, Z_prev: NodeState, Gk):
         from dpgo_tpu.losses import Loss

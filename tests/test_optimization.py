@@ -1,0 +1,116 @@
+"""Generic optimization-library solvers: toy-problem tests (the reference's
+Optimization tests use the same pattern of tiny closed-form problems,
+C++/Optimization/tests)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dpgo_tpu.solvers.optimization import (ADMMParams, GDParams, PGParams,
+                                           admm, gradient_descent, lsqr,
+                                           proximal_gradient, tnls_step)
+
+
+def test_gradient_descent_sphere():
+    """min |x - p|^2 on S^2 -> x* = p/|p| (the reference's TNT unit test
+    problem, TNT_unit_test.cpp:26-50)."""
+    p = jnp.asarray([1.0, 2.0, 2.0])
+
+    def obj(x):
+        return jnp.sum((x - p) ** 2)
+
+    def grad(x):
+        g = 2.0 * (x - p)
+        return g - jnp.dot(g, x) * x  # tangent projection
+
+    def retract(x, v):
+        y = x + v
+        return y / jnp.linalg.norm(y)
+
+    x0 = jnp.asarray([1.0, 0.0, 0.0])
+    x, fx, gn, k = gradient_descent(obj, grad, retract, x0,
+                                    GDParams(max_iterations=200))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(p / 3.0), atol=1e-5)
+    assert float(gn) < 1e-5
+
+
+def test_lsqr_least_squares(rng):
+    A = jnp.asarray(rng.normal(size=(30, 10)))
+    b = jnp.asarray(rng.normal(size=(30,)))
+    x = lsqr(lambda v: A @ v, lambda u: A.T @ u, b, jnp.zeros(10),
+             max_iters=200, atol=1e-12)
+    x_ref = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(x), x_ref, atol=1e-6)
+
+
+def test_tnls_step_solves_gauss_newton(rng):
+    J = jnp.asarray(rng.normal(size=(20, 6)))
+    r = jnp.asarray(rng.normal(size=(20,)))
+    h = tnls_step(lambda v: J @ v, lambda u: J.T @ u, r, jnp.zeros(6),
+                  max_iters=100)
+    h_ref = np.linalg.lstsq(np.asarray(J), -np.asarray(r), rcond=None)[0]
+    np.testing.assert_allclose(np.asarray(h), h_ref, atol=1e-6)
+
+
+def test_proximal_gradient_lasso(rng):
+    """min 1/2 |A x - b|^2 + lam |x|_1 via FISTA vs coordinate descent."""
+    A = jnp.asarray(rng.normal(size=(40, 15)))
+    b = jnp.asarray(rng.normal(size=(40,)))
+    lam = 0.5
+    L = float(np.linalg.norm(np.asarray(A), 2) ** 2)
+
+    def grad_f(x):
+        return A.T @ (A @ x - b)
+
+    def prox_g(v, step):
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - lam * step, 0.0)
+
+    x, k = proximal_gradient(grad_f, prox_g, jnp.zeros(15),
+                             PGParams(step=1.0 / L, max_iterations=2000,
+                                      tol=1e-12))
+
+    def lasso_obj(x):
+        return 0.5 * np.sum((np.asarray(A) @ x - np.asarray(b)) ** 2) \
+            + lam * np.sum(np.abs(x))
+
+    # Subgradient optimality: compare against many random perturbations.
+    f0 = lasso_obj(np.asarray(x))
+    for _ in range(30):
+        xp = np.asarray(x) + rng.normal(size=15) * 1e-3
+        assert lasso_obj(xp) >= f0 - 1e-9
+
+
+def test_admm_lasso(rng):
+    """Same lasso via ADMM consensus split: f = 1/2|Ax-b|^2, g = lam|z|_1,
+    x - z = 0."""
+    A = np.asarray(rng.normal(size=(40, 15)))
+    b = np.asarray(rng.normal(size=(40,)))
+    lam = 0.5
+    rho = 1.0
+    AtA = A.T @ A
+    Atb = A.T @ b
+    M = np.linalg.inv(AtA + rho * np.eye(15))
+    Mj = jnp.asarray(M)
+    Atbj = jnp.asarray(Atb)
+
+    # x-update: argmin_x 1/2|Ax-b|^2 + rho/2 |x + v|^2  (A_op = I, c = 0).
+    def prox_f(v, rho_):
+        return Mj @ (Atbj - rho_ * v)
+
+    def prox_g(v, rho_):
+        # argmin_z lam|z|_1 + rho/2 |-z + v|^2 -> soft-threshold(v).
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - lam / rho_, 0.0)
+
+    x, z, u, k = admm(prox_f, prox_g,
+                      A=lambda x: x, B=lambda z: -z, c=jnp.zeros(15),
+                      x0=jnp.zeros(15), z0=jnp.zeros(15),
+                      params=ADMMParams(rho=rho, max_iterations=500))
+
+    def lasso_obj(x):
+        return 0.5 * np.sum((A @ x - b) ** 2) + lam * np.sum(np.abs(x))
+
+    f0 = lasso_obj(np.asarray(z))
+    for _ in range(30):
+        xp = np.asarray(z) + rng.normal(size=15) * 1e-3
+        assert lasso_obj(xp) >= f0 - 1e-7

@@ -75,3 +75,52 @@ def test_robust_solver_decreases(rng, loss):
     assert np.all(np.isfinite(hist))
     assert hist[-1, 1] <= hist[0, 1]
     assert hist[-1, 1] <= np.min(hist[:, 1]) + 1e-6
+
+
+def test_dynamic_rescale_consistency(rng):
+    """Dynamic rescale: reweighted surrogate still touches + majorizes, the
+    Woodbury translation solve inverts the reweighted system, and the solver
+    converges."""
+    import jax
+    from dpgo_tpu.problem import with_weights
+    meas, _, _ = random_pose_graph(rng, num_poses=30, d=3, loop_closures=18)
+    part, nodes, mg = build_multigraph(meas, 3)
+    probs = build_node_problems(mg, xi=1e-6, loss=Loss.WELSCH, loss_reg=0.25)
+    from tests.test_problem import global_to_states, rand_global, node_prob, \
+        state_at
+    tz, Rz = rand_global(rng, meas)
+    zs = global_to_states(mg, part, tz, Rz)
+
+    w = np.clip(rng.uniform(0.05, 1.0, size=probs.scale_w.shape), 0.05, 1.0)
+    w = np.where(np.asarray(mg.e_mask), w, 1.0)
+    probs_w = jax.vmap(with_weights)(probs, jnp.asarray(w))
+
+    for a in range(mg.num_nodes):
+        p = node_prob(probs_w, a)
+        z = state_at(zs, a)
+        # Tangency at the anchor still holds with reweighted quadratic.
+        g, f = p.surrogate_g_f(z)
+        G_at = float(p.evaluate_G(z.t, z.R, g, f))
+        np.testing.assert_allclose(G_at, float(p.local_fobj(z)), rtol=1e-8)
+        # Woodbury solve inverts the reweighted translation system:
+        # mG00(w) v = G_apply(v, 0).t ; solve must return v.
+        v = rng.normal(size=z.t.shape)
+        mv, _ = p.G_apply(jnp.asarray(v), jnp.zeros_like(z.R))
+        back = p.solve_mG00(mv)
+        np.testing.assert_allclose(np.asarray(back), v, atol=1e-6)
+        # Dense path parity under reweighting.
+        if p.dense:
+            Q = p.to_tall(z.R)
+            val_dense = float(p.evaluate_G_tall(z.t, Q, g[0],
+                                                p.to_tall(g[1]), f))
+            np.testing.assert_allclose(val_dense, G_at, rtol=1e-8)
+
+    # End-to-end dynamic solver run.
+    from dpgo_tpu.driver import DPGOSolver
+    meas.t[0] += 4.0  # an outlier
+    solver = DPGOSolver(meas, num_nodes=3,
+                        opts=MMOptions(accelerated=True, rescale="dynamic"),
+                        loss=Loss.WELSCH, loss_reg=0.25)
+    st, hist = solver.run(50, record_every=10)
+    assert np.all(np.isfinite(hist))
+    assert hist[-1, 1] <= hist[0, 1]
