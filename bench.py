@@ -43,14 +43,28 @@ def main():
     st = solver.initialize()
     f0, g0 = solver._metrics(st)
 
+    # Certified global optimum of sphere2500 (2*f*), computed by this
+    # framework's own SE-Sync staircase + LOBPCG certification
+    # (tests/test_sesync.py machinery; GlobalOpt, lambda_min ~ 1e-9).
+    F_CERT_2X = 1687.005814
+    target = F_CERT_2X * (1.0 + 1e-5)
+
     # Warmup / compile.
     st = solver._step(st, jnp.asarray(0, jnp.int32))
     jax.block_until_ready(st.fobj)
 
-    n_iters = 50
+    n_iters = 150
+    secs_to_opt = None
+    iters_to_opt = None
     t0 = time.perf_counter()
     for k in range(1, n_iters + 1):
         st = solver._step(st, jnp.asarray(k, jnp.int32))
+        if secs_to_opt is None and k % 10 == 0:
+            fk, _ = solver._metrics(st)
+            if float(fk) <= target:
+                jax.block_until_ready(st.fobj)
+                secs_to_opt = time.perf_counter() - t0
+                iters_to_opt = k
     jax.block_until_ready(st.fobj)
     dt = time.perf_counter() - t0
     ips = n_iters / dt
@@ -77,8 +91,12 @@ def main():
             "platform": platform,
             "dtype": str(jnp.dtype(dtype)),
             "fobj_init_2x": float(f0),
-            "fobj_after_%d_2x" % (n_iters + 1): float(f1),
-            "grad_after_2x": float(g1),
+            "fobj_final_2x": float(f1),
+            "grad_final_2x": float(g1),
+            "certified_opt_2x": F_CERT_2X,
+            "secs_to_certified_opt_1e-5": secs_to_opt,
+            "iters_to_certified_opt_1e-5": iters_to_opt,
+            "rel_gap_final": float(f1) / F_CERT_2X - 1.0,
         },
     }))
 

@@ -95,14 +95,26 @@ def _kernel(in_ref, out_ref):
     Hs = (H[0], 0.5 * (H[1] + H[3]), 0.5 * (H[2] + H[6]),
           0.5 * (H[1] + H[3]), H[4], 0.5 * (H[5] + H[7]),
           0.5 * (H[2] + H[6]), 0.5 * (H[5] + H[7]), H[8])
+    # Smallest eigenvalue of Hs by Newton iteration on the characteristic
+    # cubic from below (Pallas TPU lowering has no acos, so the usual
+    # trigonometric closed form is unavailable). All roots lie in
+    # [q - 2p, q + 2p]; f is increasing and concave left of the smallest
+    # root, so Newton from q - 2p converges monotonically from below.
     q = (Hs[0] + Hs[4] + Hs[8]) / 3.0
     Hq = (Hs[0] - q, Hs[1], Hs[2], Hs[3], Hs[4] - q, Hs[5],
           Hs[6], Hs[7], Hs[8] - q)
     p = jnp.sqrt(jnp.maximum(_fnorm2(Hq) / 6.0, eps))
-    B = tuple(v / p for v in Hq)
-    r = jnp.clip(0.5 * _det(B), -1.0, 1.0)
-    phi = jnp.arccos(r) / 3.0
-    lam3 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+    c2 = Hs[0] + Hs[4] + Hs[8]
+    H2 = _mul(Hs, Hs)
+    tr2 = H2[0] + H2[4] + H2[8]
+    c1 = 0.5 * (c2 * c2 - tr2)
+    c0 = _det(Hs)
+    lam3 = q - 2.0 * p * 1.0000001
+    for _ in range(25):
+        fval = ((lam3 - c2) * lam3 + c1) * lam3 - c0
+        fp = (3.0 * lam3 - 2.0 * c2) * lam3 + c1
+        lam3 = lam3 - fval / jnp.where(jnp.abs(fp) > eps, fp,
+                                       jnp.where(fp >= 0, eps, -eps))
     M = (Hs[0] - lam3, Hs[1], Hs[2], Hs[3], Hs[4] - lam3, Hs[5],
          Hs[6], Hs[7], Hs[8] - lam3)
 
