@@ -128,18 +128,44 @@ class DPGOSolver:
         g = grad_norm(self.edges, t, R, self.loss, self.loss_reg)
         return 2.0 * f, 2.0 * g
 
-    def run(self, num_iters: int, t0=None, R0=None, record_every: int = 1):
+    def node_stats(self, st: MMState) -> dict:
+        """Per-node observability snapshot (the reference's DPGOResult
+        per-iteration series, DPGO_types.h:204-298)."""
+        return {
+            "fobj": np.asarray(st.fobj),
+            "gradFnorm": np.asarray(st.gradFnorm),
+            "Gk": np.asarray(st.Gk),
+            "Fk0": np.asarray(st.Fk0),
+            "Fk1": np.asarray(st.Fk1),
+            "gamma": np.asarray(st.gamma),
+            "s": np.asarray(st.s),
+            "soft_restart_hits": (np.asarray(st.hits0),
+                                  np.asarray(st.hits1)),
+            "num_oscillations": np.asarray(st.num_osc),
+        }
+
+    def run(self, num_iters: int, t0=None, R0=None, record_every: int = 1,
+            callback=None):
         """Run the solver; returns (state, history) where history rows are
-        (iter, 2*fobj, 2*gradnorm) in the reference driver's convention."""
+        (iter, 2*fobj, 2*gradnorm) in the reference driver's convention.
+
+        `callback(k, state, fobj2x, grad2x)` is invoked at every recorded
+        iteration (the TNTUserFunction-style instrumentation hook,
+        TNT.h:35-71); returning True stops the run early."""
         st = self.initialize(t0, R0)
         history = []
         f, g = self._metrics(st)
         history.append((0, float(f), float(g)))
+        if callback is not None and callback(0, st, float(f), float(g)):
+            return st, np.asarray(history)
         for k in range(num_iters):
             st = self._step(st, jnp.asarray(k, jnp.int32))
             if (k + 1) % record_every == 0:
                 f, g = self._metrics(st)
                 history.append((k + 1, float(f), float(g)))
+                if callback is not None and callback(k + 1, st, float(f),
+                                                     float(g)):
+                    break
         return st, np.asarray(history)
 
 

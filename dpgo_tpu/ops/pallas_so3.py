@@ -100,21 +100,23 @@ def _kernel(in_ref, out_ref):
     # trigonometric closed form is unavailable). All roots lie in
     # [q - 2p, q + 2p]; f is increasing and concave left of the smallest
     # root, so Newton from q - 2p converges monotonically from below.
+    # Work on the normalized trace-free matrix B = (H - q I)/p whose
+    # characteristic cubic is y^3 - 3y - det(B) = 0 with roots in [-2, 2]
+    # (well-conditioned in f32, unlike the raw cubic); then
+    # lambda_min = q + p y_min. Newton from y = -2 converges monotonically.
     q = (Hs[0] + Hs[4] + Hs[8]) / 3.0
     Hq = (Hs[0] - q, Hs[1], Hs[2], Hs[3], Hs[4] - q, Hs[5],
           Hs[6], Hs[7], Hs[8] - q)
     p = jnp.sqrt(jnp.maximum(_fnorm2(Hq) / 6.0, eps))
-    c2 = Hs[0] + Hs[4] + Hs[8]
-    H2 = _mul(Hs, Hs)
-    tr2 = H2[0] + H2[4] + H2[8]
-    c1 = 0.5 * (c2 * c2 - tr2)
-    c0 = _det(Hs)
-    lam3 = q - 2.0 * p * 1.0000001
-    for _ in range(25):
-        fval = ((lam3 - c2) * lam3 + c1) * lam3 - c0
-        fp = (3.0 * lam3 - 2.0 * c2) * lam3 + c1
-        lam3 = lam3 - fval / jnp.where(jnp.abs(fp) > eps, fp,
-                                       jnp.where(fp >= 0, eps, -eps))
+    B = tuple(v / p for v in Hq)
+    r0 = jnp.clip(_det(B), -2.0, 2.0)
+    y = jnp.full_like(r0, -2.0) - 1e-4
+    for _ in range(30):
+        fval = (y * y - 3.0) * y - r0
+        fp = 3.0 * y * y - 3.0
+        y = y - fval / jnp.where(jnp.abs(fp) > eps, fp,
+                                 jnp.where(fp >= 0, eps, -eps))
+    lam3 = q + p * jnp.minimum(y, 2.0)
     M = (Hs[0] - lam3, Hs[1], Hs[2], Hs[3], Hs[4] - lam3, Hs[5],
          Hs[6], Hs[7], Hs[8] - lam3)
 

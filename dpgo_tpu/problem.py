@@ -720,42 +720,46 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         nd = n0m * d
         mG01_d = np.zeros((N, n0m, nd))
         mG11_d = np.zeros((N, nd, nd))
+        eye = np.eye(d)
+        ar = np.arange(d)
+
+        def add_blocks(M, rows, cols, vals):
+            """M[rows*d:+d, cols*d:+d] += vals, vectorized over edges."""
+            r = rows[:, None, None] * d + ar[None, :, None]
+            c = cols[:, None, None] * d + ar[None, None, :]
+            np.add.at(M, (r, c), vals)
+
         for a in range(N):
             ii, jj = mg.a_i[a], mg.a_j[a]
             tau = mg.a_tau[a] * mg.a_mask[a]
             kap = mg.a_kap[a] * mg.a_mask[a]
             tt = mg.a_t[a]
             Rm = mg.a_R[a]
+            ttT = tt[:, :, None] * tt[:, None, :]
+            add_blocks(mG11_d[a], ii, ii,
+                       kap[:, None, None] * eye + tau[:, None, None] * ttT)
+            add_blocks(mG11_d[a], jj, jj, kap[:, None, None] * eye)
+            add_blocks(mG11_d[a], ii, jj, -kap[:, None, None] * Rm)
+            add_blocks(mG11_d[a], jj, ii,
+                       -kap[:, None, None] * np.swapaxes(Rm, -1, -2))
             # mG01: row t_i += tau t~^T in Q_i cols; row t_j -= same.
-            for e in range(mg.m0_max):
-                if not mg.a_mask[a][e]:
-                    continue
-                i, j = int(ii[e]), int(jj[e])
-                mG01_d[a, i, i * d:(i + 1) * d] += tau[e] * tt[e]
-                mG01_d[a, j, i * d:(i + 1) * d] -= tau[e] * tt[e]
-                bi = slice(i * d, (i + 1) * d)
-                bj = slice(j * d, (j + 1) * d)
-                mG11_d[a, bi, bi] += kap[e] * np.eye(d) \
-                    + tau[e] * np.outer(tt[e], tt[e])
-                mG11_d[a, bj, bj] += kap[e] * np.eye(d)
-                mG11_d[a, bi, bj] += -kap[e] * Rm[e]
-                mG11_d[a, bj, bi] += -kap[e] * Rm[e].T
+            c01 = ii[:, None] * d + ar[None, :]
+            np.add.at(mG01_d[a], (ii[:, None], c01), tau[:, None] * tt)
+            np.add.at(mG01_d[a], (jj[:, None], c01), -tau[:, None] * tt)
+
             es = mg.e_self[a]
             etau = mg.e_tau[a] * mg.e_mask[a]
             ekap = mg.e_kap[a] * mg.e_mask[a]
             ett = mg.e_t[a]
-            for e in range(mg.m1_max):
-                if not mg.e_mask[a][e]:
-                    continue
-                s_ = int(es[e])
-                bs = slice(s_ * d, (s_ + 1) * d)
-                mG11_d[a, bs, bs] += 2 * ekap[e] * np.eye(d)
-                if mg.e_self_is_i[a][e]:
-                    mG01_d[a, s_, bs] += 2 * etau[e] * ett[e]
-                    mG11_d[a, bs, bs] += 2 * etau[e] * np.outer(
-                        ett[e], ett[e])
+            is_tail = mg.e_self_is_i[a]
+            ettT = ett[:, :, None] * ett[:, None, :]
+            add_blocks(mG11_d[a], es, es,
+                       2 * ekap[:, None, None] * eye
+                       + 2 * (etau * is_tail)[:, None, None] * ettT)
+            ce = es[:, None] * d + ar[None, :]
+            np.add.at(mG01_d[a], (es[:, None], ce),
+                      2 * (etau * is_tail)[:, None] * ett)
             mG11_d[a][np.diag_indices(nd)] += xi
-        mG01_d = mG01_d.reshape(N, n0m, nd)
         mG00_full = mG00 + xi * np.where(
             mg.pose_mask, 1.0, 0.0)[:, :, None] * np.eye(n0m)
     else:
