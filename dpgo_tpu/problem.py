@@ -320,6 +320,9 @@ class NodeProblem:
     def evaluate_G(self, t, R, g, f) -> jnp.ndarray:
         """G^a value = 1/2 <G X, X> + <g, X> + f (DPGOProblem.cpp:180-205)."""
         g_t, g_R = g
+        if self.dense:
+            return self.evaluate_G_tall(t, self.to_tall(R), g_t,
+                                        self.to_tall(g_R), f)
         return (0.5 * self.G_quad(t, R) + jnp.sum(g_t * t)
                 + jnp.sum(g_R * R) + f)
 
@@ -328,7 +331,12 @@ class NodeProblem:
         trivial loss; DPGOProblem::evaluate_Df)."""
         if g is None:
             g, _ = self.surrogate_g_f(state)
-        Gt, GR = self.G_apply(state.t, state.R)
+        if self.dense:
+            Q = self.to_tall(state.R)
+            Gt = self.mG00_d @ state.t + self.mG01_d @ Q
+            GR = self.from_tall(self.mG01_d.T @ state.t + self.mG11_d @ Q)
+        else:
+            Gt, GR = self.G_apply(state.t, state.R)
         return Gt + g[0], GR + g[1]
 
     def riemannian_grad(self, state: NodeState, Df=None):
