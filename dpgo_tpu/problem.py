@@ -717,10 +717,11 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     # mG11 + (lambda_max / cond) I. lambda_max is approximated by the largest
     # Gershgorin bound of the block diagonal (cheap, same role as the
     # reference's Spectra Lanczos estimate, DPGOProblem.cpp:101-124).
+    # lambda_max of the rotational block for the regularized preconditioner:
+    # Gershgorin bound on the block diagonal (refined below by power
+    # iteration on the dense operator when available — the role Spectra's
+    # Lanczos plays in the reference, DPGOProblem.cpp:101-124).
     lam_max = np.abs(jac).sum(axis=(-1, -2)).max(axis=-1)  # [N]
-    reg = lam_max / precon_cond
-    jac_reg = jac + reg[:, None, None, None] * np.eye(d)
-    precon_inv = np.linalg.inv(jac_reg)
 
     # Dense operator images for the MXU TNT path (tall Q-storage).
     dense = n0m * d <= dense_limit
@@ -774,6 +775,15 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         mG01_d = np.zeros((N, 1, 1))
         mG11_d = np.zeros((N, 1, 1))
         mG00_full = np.zeros((N, 1, 1))
+
+    if dense:
+        from dpgo_tpu.ops.eigen import power_iteration_max_dense
+        for a in range(N):
+            lam_max[a] = power_iteration_max_dense(mG11_d[a], iters=30,
+                                                   seed=a)
+    reg = lam_max / precon_cond
+    jac_reg = jac + reg[:, None, None, None] * np.eye(d)
+    precon_inv = np.linalg.inv(jac_reg)
 
     # Inter-pose selector + base-inverse columns for the dynamic-rescale
     # Woodbury translation solve.

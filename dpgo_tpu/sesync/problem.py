@@ -44,6 +44,12 @@ class SESyncProblem:
     tau: jnp.ndarray     # [m]
     Lred_inv: jnp.ndarray  # [n-1, n-1] inverse reduced translation Laplacian
     jac_inv: jnp.ndarray   # [n, d, d] block-Jacobi preconditioner blocks
+    # "simplified" (translation-eliminated, the default) or "sosync"
+    # (rotation-only synchronization; Q = L_Grho) — the reference's
+    # Formulation enum (SESync_types.h:29-46). The Explicit joint (t, R)
+    # formulation is what the DPGO solvers themselves provide.
+    formulation: str = dataclasses.field(
+        default="simplified", metadata=dict(static=True))
 
     # ------------------------------------------------------- Q application
 
@@ -84,6 +90,8 @@ class SESyncProblem:
         return out.reshape(Y.shape)
 
     def apply_Q(self, Y):
+        if self.formulation == "sosync":
+            return self.apply_LGrho(Y)
         return self.apply_LGrho(Y) + self.apply_Qtau(Y)
 
     def objective(self, Y):
@@ -180,8 +188,8 @@ class SESyncProblem:
         return jnp.concatenate([jnp.zeros((1, self.d), R.dtype), t1], axis=0)
 
 
-def build_sesync_problem(meas: Measurements, dtype=jnp.float64
-                         ) -> SESyncProblem:
+def build_sesync_problem(meas: Measurements, dtype=jnp.float64,
+                         formulation: str = "simplified") -> SESyncProblem:
     P, d, m = meas.num_poses, meas.d, len(meas)
     tau, i, j = meas.tau, meas.i, meas.j
     L = np.zeros((P, P))
@@ -206,4 +214,5 @@ def build_sesync_problem(meas: Measurements, dtype=jnp.float64
         eR=cast(meas.R), et=cast(meas.t),
         kappa=cast(meas.kappa), tau=cast(meas.tau),
         Lred_inv=cast(Lred_inv), jac_inv=cast(jac_inv),
+        formulation=formulation,
     )

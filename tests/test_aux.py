@@ -79,3 +79,20 @@ def test_pallas_so3_interpret(rng):
     R_ref = np.asarray(polar_so3(jnp.asarray(A)))
     R_pl = np.asarray(polar_so3_pallas(jnp.asarray(A), interpret=True))
     np.testing.assert_allclose(R_pl, R_ref, atol=1e-12)
+
+
+def test_ate_alignment(rng):
+    from dpgo_tpu.metrics import ate, align_se, rotation_errors
+    from dpgo_tpu.manifold import project_sod
+    t = rng.normal(size=(50, 3)) * 3
+    R = np.asarray(project_sod(jnp.asarray(rng.normal(size=(50, 3, 3)))))
+    # Apply a random gauge transform; ATE must be ~0.
+    G = np.asarray(project_sod(jnp.asarray(rng.normal(size=(3, 3)))))
+    shift = rng.normal(size=3)
+    t2 = t @ G.T + shift
+    R2 = np.einsum("ab,nbc->nac", G, R)
+    assert ate(t2, t) < 1e-10
+    assert rotation_errors(R2, R, t2, t).max() < 1e-8
+    # Perturbation produces a matching ATE scale.
+    t3 = t2 + rng.normal(size=t.shape) * 0.1
+    assert 0.05 < ate(t3, t) < 0.2
