@@ -44,6 +44,13 @@ class MMOptions:
     max_rescale_count: int = 5
     min_rescale: float = 0.01
     max_rescale: float = 1.0
+    # Per-node objective sequence: True = the reference's exact Q-telescoping
+    # (evaluate_none_g_and_f; carries an antisymmetric correction and, in
+    # f32, a random-walk rounding drift that destabilizes the restart
+    # references), False = direct edge-wise evaluation each update (fresh
+    # ~1e-7-relative error, no drift). None = auto: telescoped in f64,
+    # direct in f32 (resolved by the driver).
+    telescoped: bool | None = None
     eta0: float = 5e-4
     eta1: float = 2.5e-2
     psi: float = 1e-10
@@ -145,10 +152,14 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
         st = st._replace(scale_w=scale_w, rescale_count=rescale_count)
         probs = reweighted_problems(probs, st, opts)
 
+    telescoped = opts.telescoped
+    if telescoped is None:
+        telescoped = st.Z.t.dtype == jnp.float64
+
     def per_node(p: NodeProblem, Z: NodeState, Z_prev: NodeState, Gk):
         from dpgo_tpu.losses import Loss
         g, f_anchor = p.surrogate_g_f(Z)
-        if first or p.loss is not Loss.TRIVIAL:
+        if first or p.loss is not Loss.TRIVIAL or not telescoped:
             # Robust kernels: evaluate the node objective directly (the
             # reference telescopes through Q + E-gradient bookkeeping,
             # evaluate_g_and_f, DPGOProblem.cpp:360-424; a direct edge-wise
