@@ -50,3 +50,25 @@ def test_sharded_csail_converges():
     f1, g1 = shd._metrics(st)
     assert float(f1) < float(f0)
     assert np.isfinite(float(g1))
+
+
+def test_sharded_star_matches_local(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from dpgo_tpu.driver import DPGOStarSolver
+    from dpgo_tpu.parallel.spmd import ShardedDPGOStarSolver
+    meas, _, _ = random_pose_graph(rng, num_poses=64, d=3, loop_closures=40)
+    ref = DPGOStarSolver(meas, num_nodes=8, opts=MMOptions())
+    shd = ShardedDPGOStarSolver(meas, num_nodes=8, opts=MMOptions())
+    st_r, hist_r = ref.run(10, record_every=5)
+    st_s = shd.initialize()
+    hist_s = []
+    f, g = shd._metrics(st_s)
+    hist_s.append((0, float(f), float(g)))
+    for k in range(10):
+        st_s = shd._step(st_s, jnp.asarray(k, jnp.int32))
+        if (k + 1) % 5 == 0:
+            f, g = shd._metrics(st_s)
+            hist_s.append((k + 1, float(f), float(g)))
+    hist_s = np.asarray(hist_s)
+    np.testing.assert_allclose(hist_s[:, 1], hist_r[:, 1], rtol=1e-9)
