@@ -150,7 +150,11 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
     t = prob.recover_translations(R)
     Yr = jnp.swapaxes(R, 1, 2).reshape(n * d, d)
     fxhat = float(prob.objective(Yr))
-    bound = 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
+    # f* >= sdp_val + (nd/2) min(0, lam_min), so
+    # f(xhat) - f* <= (fxhat - sdp_val) + (nd/2) max(0, -lam_min)
+    # (SESync.cpp:505-527 duality-gap computation).
+    bound = (fxhat - sdp_val) \
+        + 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
     return SESyncResult(
         status=status, R=np.asarray(R), t=np.asarray(t), fxhat=fxhat,
         sdp_val=sdp_val, lambda_min=lam_min, suboptimality_bound=bound,
@@ -173,5 +177,9 @@ def certify_solution(meas: Measurements, R: np.ndarray,
                                 dtype, iters=lobpcg_iters)
     lam_min = float(lam_min)
     fxhat = float(prob.objective(Y))
-    bound = 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
+    # f* >= tr(Lambda)/2 + (nd/2) min(0, lam_min); for a stationary
+    # candidate tr(Lambda) = <Q y, y> and the slack term vanishes.
+    tr_lam = float(jnp.sum(jnp.trace(Lam, axis1=-2, axis2=-1)))
+    bound = max(0.0, fxhat - 0.5 * tr_lam) \
+        + 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
     return lam_min >= -min_eig_tol, lam_min, bound, fxhat
