@@ -96,3 +96,19 @@ def test_ate_alignment(rng):
     # Perturbation produces a matching ATE scale.
     t3 = t2 + rng.normal(size=t.shape) * 0.1
     assert 0.05 < ate(t3, t) < 0.2
+
+
+def test_cli_end_to_end(tmp_path, monkeypatch):
+    """dist_pgo-equivalent CLI smoke test: runs, writes result files."""
+    monkeypatch.chdir(tmp_path)
+    from dpgo_tpu.cli import main
+    from tests.conftest import DATASET_DIR
+    ds = os.path.join(DATASET_DIR, "tinyGrid3D.g2o")
+    if not os.path.exists(ds):
+        pytest.skip("dataset unavailable")
+    main(["--dataset", ds, "--num_nodes", "2", "--iters", "5",
+          "--dist_init", "false", "--record_every", "5"])
+    assert os.path.exists(tmp_path / "results_chordal_2_amm.txt")
+    assert os.path.exists(tmp_path / "estimates_trivial.txt")
+    rows = open(tmp_path / "results_chordal_2_amm.txt").read().splitlines()
+    assert len(rows) == 2  # iter 0 + iter 5
