@@ -519,15 +519,34 @@ class NodeProblem:
         return g_Q + self.mG01_d.T @ t + self.mG11_d @ Q
 
     def hessian_vp_tall(self, Q, nablaQ, Qdot):
-        tdot = -self.solve_mG00(self.mG01_d @ Qdot)
-        E = self.mG01_d.T @ tdot + self.mG11_d @ Qdot
+        """Hessian-vector product for the STPCG inner loop.
+
+        Runs its matmuls at the fast (bf16-pass) MXU precision: truncated
+        Newton tolerates ~1e-3 relative Hessian error (the trust-region
+        acceptance test evaluates the objective at full precision), and
+        these matvecs dominate the iteration cost."""
+        fast = jax.lax.Precision.DEFAULT
+        mm = lambda A, B: jnp.matmul(A, B, precision=fast)
+        tdot = -self._solve_mG00_fast(mm(self.mG01_d, Qdot), mm)
+        E = mm(self.mG01_d.T, tdot) + mm(self.mG11_d, Qdot)
         E = E - self.sym_block_tall(Qdot, Q, nablaQ)
         return self.proj_tall(Q, E)
+
+    def _solve_mG00_fast(self, rhs, mm):
+        out = mm(self.Minv_red, rhs)
+        c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
+        out = out + jnp.einsum("pk,ka->pa", self.null_V, c)
+        if self.dynamic:
+            corr = jnp.einsum("kl,la->ka", self.wood_C, out[self.ipose])
+            out = out - jnp.einsum("pk,ka->pa", self.SU, corr)
+        return out
 
     def precondition_tall(self, Q, V):
         d = self.d
         P = jnp.einsum("nab,nbr->nar", jnp.swapaxes(self.precon_inv, -1, -2),
-                       V.reshape(-1, d, d)).reshape(V.shape)
+                       V.reshape(-1, d, d),
+                       precision=jax.lax.Precision.DEFAULT
+                       ).reshape(V.shape)
         return self.proj_tall(Q, P)
 
     def recover_translations_tall(self, Q, g_t):
