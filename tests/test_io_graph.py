@@ -96,3 +96,34 @@ def test_intel_partition_counts():
     assert sum(g.n0 for g in nodes) == meas.num_poses
     assert sum(len(g.intra) for g in nodes) \
         + sum(len(g.inter) for g in nodes) // 2 == len(meas)
+
+
+def test_message_transport_matches_gather(rng):
+    """Explicit p2p messages reproduce the gather-based communicate."""
+    from dpgo_tpu.transport import extract_messages, apply_messages
+    from dpgo_tpu.graph import build_multigraph
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=40, d=3,
+                                             loop_closures=25)
+    part, nodes, mg = build_multigraph(meas, 4)
+    # Per-node own states = slices of a global random state.
+    t = rng.normal(size=(meas.num_poses, 3))
+    import jax.numpy as jnp
+    from dpgo_tpu.manifold import project_sod
+    R = np.asarray(project_sod(jnp.asarray(
+        rng.normal(size=(meas.num_poses, 3, 3)))))
+    own = {a: (t[part.start[a]:part.start[a] + g.n0],
+               R[part.start[a]:part.start[a] + g.n0])
+           for a, g in enumerate(nodes)}
+    # Exchange messages.
+    inboxes = {a: {} for a in range(4)}
+    for a, g in enumerate(nodes):
+        for b, msg in extract_messages(g, *own[a]).items():
+            inboxes[b][a] = msg
+    for a, g in enumerate(nodes):
+        th0 = np.zeros((g.n1, 3))
+        Rh0 = np.zeros((g.n1, 3, 3))
+        th, Rh = apply_messages(g, th0, Rh0, inboxes[a])
+        # Gather oracle: halo = owner states at halo indices.
+        gidx = part.start[g.halo_owner] + g.halo_lpose
+        np.testing.assert_allclose(th, t[gidx], atol=0)
+        np.testing.assert_allclose(Rh, R[gidx], atol=0)
