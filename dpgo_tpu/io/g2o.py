@@ -136,3 +136,52 @@ def read_g2o_file(filename: str) -> Measurements:
     num_poses = int(max(i.max(), j.max())) + 1
     return Measurements(i=i, j=j, R=R, t=t, kappa=kappa, tau=tau,
                         num_poses=num_poses, d=d)
+
+
+def write_g2o_file(filename: str, t, R, meas: Measurements | None = None
+                   ) -> None:
+    """Write poses (VERTEX_*) and optionally edges (EDGE_*) in g2o format."""
+    import numpy as _np
+    t = _np.asarray(t)
+    R = _np.asarray(R)
+    d = t.shape[1]
+    with open(filename, "w") as fh:
+        if d == 2:
+            for p in range(t.shape[0]):
+                th = _np.arctan2(R[p, 1, 0], R[p, 0, 0])
+                fh.write(f"VERTEX_SE2 {p} {t[p,0]:.9g} {t[p,1]:.9g} "
+                         f"{th:.9g}\n")
+        else:
+            for p in range(t.shape[0]):
+                w = _np.sqrt(max(1.0 + _np.trace(R[p]), 1e-12)) / 2.0
+                qx = (R[p, 2, 1] - R[p, 1, 2]) / (4 * w)
+                qy = (R[p, 0, 2] - R[p, 2, 0]) / (4 * w)
+                qz = (R[p, 1, 0] - R[p, 0, 1]) / (4 * w)
+                fh.write(f"VERTEX_SE3:QUAT {p} {t[p,0]:.9g} {t[p,1]:.9g} "
+                         f"{t[p,2]:.9g} {qx:.9g} {qy:.9g} {qz:.9g} "
+                         f"{w:.9g}\n")
+        if meas is not None:
+            for e in range(len(meas)):
+                i, j = int(meas.i[e]), int(meas.j[e])
+                Re, te = meas.R[e], meas.t[e]
+                if d == 2:
+                    th = _np.arctan2(Re[1, 0], Re[0, 0])
+                    info = f"{meas.tau[e]:.9g} 0 0 {meas.tau[e]:.9g} 0 " \
+                           f"{meas.kappa[e]:.9g}"
+                    fh.write(f"EDGE_SE2 {i} {j} {te[0]:.9g} {te[1]:.9g} "
+                             f"{th:.9g} {info}\n")
+                else:
+                    w = _np.sqrt(max(1.0 + _np.trace(Re), 1e-12)) / 2.0
+                    qx = (Re[2, 1] - Re[1, 2]) / (4 * w)
+                    qy = (Re[0, 2] - Re[2, 0]) / (4 * w)
+                    qz = (Re[1, 0] - Re[0, 1]) / (4 * w)
+                    # Reader inverts the conventions: tau round-trips as
+                    # the translation info diagonal; kappa needs 2x on the
+                    # rotation info diagonal (kappa = 3 / (2 tr(RotInfo^-1))).
+                    ta, ka = meas.tau[e], 2.0 * meas.kappa[e]
+                    info = (f"{ta:.9g} 0 0 0 0 0 {ta:.9g} 0 0 0 0 "
+                            f"{ta:.9g} 0 0 0 {ka:.9g} 0 0 {ka:.9g} 0 "
+                            f"{ka:.9g}")
+                    fh.write(f"EDGE_SE3:QUAT {i} {j} {te[0]:.9g} "
+                             f"{te[1]:.9g} {te[2]:.9g} {qx:.9g} {qy:.9g} "
+                             f"{qz:.9g} {w:.9g} {info}\n")

@@ -127,3 +127,19 @@ def test_message_transport_matches_gather(rng):
         gidx = part.start[g.halo_owner] + g.halo_lpose
         np.testing.assert_allclose(th, t[gidx], atol=0)
         np.testing.assert_allclose(Rh, R[gidx], atol=0)
+
+
+def test_g2o_writer_roundtrip(rng, tmp_path):
+    from dpgo_tpu.io.g2o import write_g2o_file
+    import jax.numpy as jnp
+    from dpgo_tpu.manifold import project_sod
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=12, d=3,
+                                             loop_closures=5, noise=0.0)
+    p = str(tmp_path / "out.g2o")
+    write_g2o_file(p, t_true, R_true, meas)
+    back = read_g2o_file(p)
+    assert back.num_poses == meas.num_poses
+    assert len(back) == len(meas)
+    np.testing.assert_allclose(back.R, meas.R, atol=1e-6)
+    np.testing.assert_allclose(back.t, meas.t, atol=1e-6)
+    np.testing.assert_allclose(back.kappa, meas.kappa, rtol=1e-6)
