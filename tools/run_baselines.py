@@ -78,36 +78,42 @@ def main():
     it = args.iters
 
     rows = []
-    rows.append(run_config("cfg1 MM single-node", "CSAIL.g2o", 1, it,
-                           accelerated=False, certify=True))
-    rows.append(run_config("cfg2 AMM* chordal", "intel.g2o", 4, it,
-                           solver="star"))
-    rows.append(run_config("cfg2 AMM* chordal", "M3500.g2o", 4, it,
-                           solver="star"))
-    rows.append(run_config("cfg3 AMM# 8-node", "sphere2500.g2o", 8, it,
-                           certify=True))
-    rows.append(run_config("cfg3 AMM# 8-node", "torus3D.g2o", 8, it))
-    rows.append(run_config("cfg4 Huber+PCM", "city10000.g2o", 16, it,
-                           loss=Loss.HUBER, pcm=True))
-    rows.append(run_config("cfg4 Welsch", "smallGrid3D.g2o", 4, it,
-                           loss=Loss.WELSCH))
-    rows.append(run_config("cfg5 16-node + cert", "parking-garage.g2o", 4,
-                           it, certify=True))
-    rows.append(run_config("cfg5 16-node + cert", "cubicle.g2o", 16, it,
-                           certify=True))
-    rows.append(run_config("cfg5 dist-init", "MITb.g2o", 4, it,
-                           dist_init=True))
 
-    with open(args.out, "w") as fh:
-        fh.write("# BASELINE configuration results\n\n")
-        fh.write(f"(CPU float64, {it} iterations per config; objective "
-                 "convention 2*fobj as in the reference driver)\n\n")
-        fh.write("| config | dataset | nodes | iters | 2f init | 2f final |"
-                 " 2|grad| | secs | notes |\n|---|---|---|---|---|---|---|"
-                 "---|---|\n")
-        for r in rows:
-            fh.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | {r[4]:.4f} | "
-                     f"{r[5]:.4f} | {r[6]:.2e} | {r[7]:.0f} | {r[8]} |\n")
+    def flush_rows():
+        with open(args.out, "w") as fh:
+            fh.write("# BASELINE configuration results\n\n")
+            fh.write(f"(CPU float64, {it} iterations per config; objective "
+                     "convention 2*fobj as in the reference driver)\n\n")
+            fh.write("| config | dataset | nodes | iters | 2f init | "
+                     "2f final | 2|grad| | secs | notes |\n"
+                     "|---|---|---|---|---|---|---|---|---|\n")
+            for r in rows:
+                fh.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | "
+                         f"{r[4]:.4f} | {r[5]:.4f} | {r[6]:.2e} | "
+                         f"{r[7]:.0f} | {r[8]} |\n")
+
+    def add(row):
+        rows.append(row)
+        flush_rows()
+
+    add(run_config("cfg1 MM single-node", "CSAIL.g2o", 1, it,
+                   accelerated=False, certify=True))
+    add(run_config("cfg2 AMM* chordal", "intel.g2o", 4, it,
+                   solver="star"))
+    add(run_config("cfg2 AMM* chordal", "M3500.g2o", 4, it, solver="star"))
+    add(run_config("cfg3 AMM# 8-node", "sphere2500.g2o", 8, it,
+                   certify=True))
+    add(run_config("cfg3 AMM# 8-node", "torus3D.g2o", 8, it))
+    add(run_config("cfg4 Huber+PCM", "city10000.g2o", 16, it,
+                   loss=Loss.HUBER, pcm=True))
+    add(run_config("cfg4 Welsch", "smallGrid3D.g2o", 4, it,
+                   loss=Loss.WELSCH))
+    add(run_config("cfg5 16-node + cert", "parking-garage.g2o", 4, it,
+                   certify=True))
+    add(run_config("cfg5 16-node + cert", "cubicle.g2o", 16, it,
+                   certify=True))
+    add(run_config("cfg5 dist-init", "MITb.g2o", 4, it, dist_init=True))
+
     print(f"wrote {args.out}")
 
 
