@@ -77,10 +77,11 @@ class ShardedDPGOSolver(DPGOSolver):
                  in_specs=(nspec, nspec, nspec, nspec, P()),
                  out_specs=nspec, check_vma=False)
         def step(probs_l, st_l, owner_l, lpose_l, kk):
+            probs_w = mm_mod.reweighted_problems(probs_l, st_l, opts)
             if opts.accelerated:
-                st2 = mm_mod.iterate_amm(probs_l, st_l, opts, kk)
+                st2 = mm_mod.iterate_amm(probs_w, st_l, opts, kk)
             else:
-                st2 = mm_mod.iterate_mm(probs_l, st_l, opts, kk)
+                st2 = mm_mod.iterate_mm(probs_w, st_l, opts, kk)
             # Halo exchange: all_gather own states over ICI, gather locally.
             t_all = lax.all_gather(st2.Z.t, "nodes", axis=0, tiled=True)
             R_all = lax.all_gather(st2.Z.R, "nodes", axis=0, tiled=True)

@@ -152,6 +152,9 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
         st = st._replace(scale_w=scale_w, rescale_count=rescale_count)
         probs = reweighted_problems(probs, st, opts)
 
+    assert opts.oscillation_cnt_period + 2 == OSC_BUF, (
+        "oscillation window is fixed at OSC_BUF - 2; resize MMState.osc_buf "
+        "to change it")
     telescoped = opts.telescoped
     if telescoped is None:
         telescoped = st.Z.t.dtype == jnp.float64
