@@ -223,6 +223,19 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
                 continue
             i = int(es[e])
             GR[a, i * d:(i + 1) * d, i * d:(i + 1) * d] += 2 * ek[e] * eye
+    # Proximal anchor: the rotation stage is homogeneous (no constant
+    # offsets), so without the reference's first-pose anchor the iterates of
+    # a node with no inter edges decay by xi/lambda each solve and
+    # underflow. A mu-proximal term (g gains -mu Y) preserves scale and has
+    # the same fixed points up to O(mu) smoothing — the gauge-free analog of
+    # the reference's anchoring (DChordalProblem.h:218-227).
+    mu = np.zeros(N)
+    for a in range(N):
+        tot_kap = float((mg.a_kap[a] * mg.a_mask[a]).sum()
+                        + (mg.e_kap[a] * mg.e_mask[a]).sum())
+        mu[a] = 0.05 * tot_kap / max(int(mg.n0[a]), 1)
+        GR[a][np.diag_indices(n0m * d)] += mu[a]
+    mu_j = jnp.asarray(mu, dtype)
     GR_red, GR_null = _split_inverse(GR, xi)
     GR_red = jnp.asarray(GR_red, dtype)
     GR_null = jnp.asarray(GR_null, dtype)
@@ -240,16 +253,20 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
     def stage2_step(Rcur):
         Rhh = exchange(Rcur)
 
-        def per_node(p, red, nullV, R_own, R_halo):
+        def per_node(p, red, nullV, mu_a, R_own, R_halo, R_seed):
             Z = NodeState(t=jnp.zeros((n0m, d), dtype), R=R_own,
                           th=jnp.zeros((mg.n1_max, d), dtype), Rh=R_halo)
-            gR = rot_g(p, Z)
+            # mu-anchor to the (constant) stage-1 seed: keeps the
+            # homogeneous rotation system away from its decaying null
+            # iteration while biasing the LS solution only at O(mu/kappa).
+            gR = rot_g(p, Z) - mu_a * R_seed
             # Solve G_R Q = -g in Q (transposed) tall storage.
             gQ = jnp.swapaxes(gR, -1, -2).reshape(n0m * d, d)
             Q = -_apply_split(red, nullV, xi, gQ)
             return jnp.swapaxes(Q.reshape(n0m, d, d), -1, -2)
 
-        return jax.vmap(per_node)(probs, GR_red, GR_null, Rcur, Rhh)
+        return jax.vmap(per_node)(probs, GR_red, GR_null, mu_j, Rcur, Rhh,
+                                  R1)
 
     R2 = _nesterov_scan(jax.jit(stage2_step), R1, cfg.iters_full_R)
     R2 = project_sod(R2)
