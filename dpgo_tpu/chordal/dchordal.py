@@ -223,19 +223,6 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
                 continue
             i = int(es[e])
             GR[a, i * d:(i + 1) * d, i * d:(i + 1) * d] += 2 * ek[e] * eye
-    # Proximal anchor: the rotation stage is homogeneous (no constant
-    # offsets), so without the reference's first-pose anchor the iterates of
-    # a node with no inter edges decay by xi/lambda each solve and
-    # underflow. A mu-proximal term (g gains -mu Y) preserves scale and has
-    # the same fixed points up to O(mu) smoothing — the gauge-free analog of
-    # the reference's anchoring (DChordalProblem.h:218-227).
-    mu = np.zeros(N)
-    for a in range(N):
-        tot_kap = float((mg.a_kap[a] * mg.a_mask[a]).sum()
-                        + (mg.e_kap[a] * mg.e_mask[a]).sum())
-        mu[a] = 0.05 * tot_kap / max(int(mg.n0[a]), 1)
-        GR[a][np.diag_indices(n0m * d)] += mu[a]
-    mu_j = jnp.asarray(mu, dtype)
     GR_red, GR_null = _split_inverse(GR, xi)
     GR_red = jnp.asarray(GR_red, dtype)
     GR_null = jnp.asarray(GR_null, dtype)
@@ -250,23 +237,38 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
         g_t, g_R = p.apply_A_self_T(jnp.zeros_like(u_s), E_o - E_s)
         return g_R - p.xi * Z.R
 
+    # Nodes without inter edges are uncoupled BCD blocks: their exact
+    # solution is the stage-0 local solve, so stage 2/BCD must leave them
+    # untouched (a 1-node run is the extreme case).
+    has_inter = sum_kap > 0
+
     def stage2_step(Rcur):
         Rhh = exchange(Rcur)
 
-        def per_node(p, red, nullV, mu_a, R_own, R_halo, R_seed):
+        def per_node(p, red, nullV, R_own, R_halo, R_keep, coupled):
             Z = NodeState(t=jnp.zeros((n0m, d), dtype), R=R_own,
                           th=jnp.zeros((mg.n1_max, d), dtype), Rh=R_halo)
-            # mu-anchor to the (constant) stage-1 seed: keeps the
-            # homogeneous rotation system away from its decaying null
-            # iteration while biasing the LS solution only at O(mu/kappa).
-            gR = rot_g(p, Z) - mu_a * R_seed
+            gR = rot_g(p, Z)
             # Solve G_R Q = -g in Q (transposed) tall storage.
             gQ = jnp.swapaxes(gR, -1, -2).reshape(n0m * d, d)
             Q = -_apply_split(red, nullV, xi, gQ)
-            return jnp.swapaxes(Q.reshape(n0m, d, d), -1, -2)
+            Rn = jnp.swapaxes(Q.reshape(n0m, d, d), -1, -2)
+            # The rotation stage is homogeneous: a node with no inter-edge
+            # pulls iterates a pure contraction whose magnitude decays
+            # (the reference avoids this by pinning node 0's first pose).
+            # Scale is irrelevant to the final per-block projection, so
+            # renormalize only when the iterate shrinks — an exact no-op
+            # for inter-coupled nodes, and the degenerate case converges in
+            # direction to the spectral (minimal-eigenvector) solution.
+            target = jnp.sqrt(jnp.asarray(n0m * d, dtype))
+            nrm = jnp.sqrt(jnp.sum(Rn * Rn))
+            scale = jnp.minimum(
+                jnp.where(nrm < 0.5 * target,
+                          target / jnp.maximum(nrm, 1e-300), 1.0), 1e15)
+            return jnp.where(coupled, Rn * scale, R_keep)
 
-        return jax.vmap(per_node)(probs, GR_red, GR_null, mu_j, Rcur, Rhh,
-                                  R1)
+        return jax.vmap(per_node)(probs, GR_red, GR_null, Rcur, Rhh, R1,
+                                  has_inter)
 
     R2 = _nesterov_scan(jax.jit(stage2_step), R1, cfg.iters_full_R)
     R2 = project_sod(R2)

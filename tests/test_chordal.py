@@ -54,3 +54,16 @@ def test_dchordal_feeds_solver():
     f1, g1 = solver._metrics(st)
     assert float(f1) <= float(f0)
     assert float(g1) < 1.0
+
+
+def test_dchordal_single_node():
+    """A 1-node run must return the stage-0 local solve untouched (the
+    uncoupled-BCD-block freeze; the homogeneous rotation stage previously
+    underflowed here)."""
+    meas = read_g2o_file(dataset_path("tinyGrid3D.g2o"))
+    edges = EdgeData.from_measurements(meas)
+    t, R = distributed_chordal_init(meas, 1)
+    assert np.isfinite(t).all() and np.isfinite(R).all()
+    f = float(evaluate_f(edges, jnp.asarray(t), jnp.asarray(R)))
+    # Stage-0 TNT refinement solves the whole (single-node) problem.
+    assert 2 * f < 90.0
