@@ -104,8 +104,8 @@ def main():
             "fobj_final_2x": float(f1),
             "grad_final_2x": float(g1),
             "certified_opt_2x": F_CERT_2X,
-            "secs_to_certified_opt_1e-5": secs_to_opt,
-            "iters_to_certified_opt_1e-5": iters_to_opt,
+            "secs_to_certified_opt_1e-4": secs_to_opt,
+            "iters_to_certified_opt_1e-4": iters_to_opt,
             "rel_gap_final": float(f1) / F_CERT_2X - 1.0,
         },
     }))
