@@ -1,0 +1,76 @@
+"""Compute certified global optima for the benchmark datasets and write
+artifacts/certified_optima.json (the test/bench ground-truth catalog).
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/certify_datasets.py
+       [--datasets a.g2o b.g2o ...]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+DATA = "/root/reference/dataset"
+DEFAULT = ["CSAIL.g2o", "intel.g2o", "M3500.g2o", "manhattan.g2o",
+           "FR079.g2o", "MITb.g2o", "sphere2500.g2o", "torus3D.g2o",
+           "parking-garage.g2o", "cubicle.g2o", "smallGrid3D.g2o",
+           "sphere_small.g2o", "tinyGrid3D.g2o"]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--datasets", nargs="*", default=DEFAULT)
+    ap.add_argument("--out", default="artifacts/certified_optima.json")
+    args = ap.parse_args()
+
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.sesync.staircase import sesync, SESyncOpts
+
+    results = {}
+    if os.path.exists(args.out):
+        results = json.load(open(args.out))
+    for name in args.datasets:
+        path = os.path.join(DATA, name)
+        if not os.path.exists(path):
+            print(f"skip {name} (missing)")
+            continue
+        if name in results:
+            print(f"skip {name} (already done)")
+            continue
+        try:
+            t0 = time.time()
+            meas = read_g2o_file(path)
+            res = sesync(meas)
+            results[name] = {
+                "status": res.status,
+                "fxhat_2x": 2 * res.fxhat,
+                "sdp_2x": 2 * res.sdp_val,
+                "lambda_min": res.lambda_min,
+                "suboptimality_bound_2x": 2 * res.suboptimality_bound,
+                "rank": res.rank,
+                "poses": meas.num_poses,
+                "edges": len(meas),
+                "secs": round(time.time() - t0, 1),
+            }
+            print(name, results[name], flush=True)
+        except Exception as e:
+            print(f"{name} FAILED: {type(e).__name__} {e}", flush=True)
+            results[name] = {"status": f"error: {type(e).__name__}"}
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
+        with open(args.out, "w") as fh:
+            json.dump(results, fh, indent=1)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
