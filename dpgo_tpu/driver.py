@@ -102,6 +102,11 @@ class DPGOSolver:
             R = chordal_initialization(self.meas)
         if t is None:
             t = recover_translations_global(self.meas, R)
+        # Center the translation gauge: pure gauge freedom, and it minimizes
+        # |t| magnitudes (the chordal init anchors pose 0 at the origin, so
+        # coordinates grow with graph diameter — costly in f32, where
+        # catastrophic cancellation in t_i - t_j scales with |t|).
+        t = t - np.asarray(t).mean(axis=0, keepdims=True)
         st = init_state(self.probs, self.pack_global(t, R))
         st = communicate(st, self.halo_owner, self.halo_lpose)
         st = st._replace(Z_prev=st.Z)
