@@ -124,3 +124,26 @@ def test_dynamic_rescale_consistency(rng):
     st, hist = solver.run(50, record_every=10)
     assert np.all(np.isfinite(hist))
     assert hist[-1, 1] <= hist[0, 1]
+
+
+def test_robust_beats_trivial_under_outliers(rng):
+    """With corrupted inter edges, the Welsch solution should recover the
+    ground-truth trajectory better (lower ATE) than the trivial loss."""
+    from dpgo_tpu.metrics import ate
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=40, d=3,
+                                             loop_closures=30, noise=0.02)
+    from dpgo_tpu.graph import make_partition
+    part = make_partition(meas.num_poses, 4)
+    inter = np.nonzero(part.node_of[meas.i] != part.node_of[meas.j])[0]
+    bad = inter[:: max(len(inter) // 5, 1)][:5]
+    meas.t[bad] += rng.normal(size=(len(bad), 3)) * 8.0
+
+    results = {}
+    for loss in (Loss.TRIVIAL, Loss.WELSCH):
+        s = DPGOSolver(meas, num_nodes=4, opts=MMOptions(accelerated=True),
+                       loss=loss, loss_reg=0.25)
+        st, _ = s.run(80, record_every=80)
+        t_est, _ = map(np.asarray, s.gather_global(st))
+        results[loss] = ate(t_est, t_true)
+    assert results[Loss.WELSCH] < results[Loss.TRIVIAL]
+    assert results[Loss.WELSCH] < 1.0
