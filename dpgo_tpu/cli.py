@@ -79,8 +79,7 @@ def main(argv=None):
     solver = cls(meas, num_nodes=args.num_nodes, opts=opts, loss=loss,
                  loss_reg=args.loss_reg, dtype=dtype)
 
-    st = solver.initialize(dist_init=args.dist_init) \
-        if args.solver == "hash" else solver.initialize()
+    st = solver.initialize(dist_init=args.dist_init)
     start_iter = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         from dpgo_tpu.checkpoint import load_state

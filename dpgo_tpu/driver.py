@@ -183,11 +183,16 @@ class DPGOStarSolver(DPGOSolver):
         R = R_own[self.node_of, self.local_of]
         return evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
 
-    def initialize(self, t=None, R=None):
+    def initialize(self, t=None, R=None, dist_init: bool = False):
+        if R is None and dist_init:
+            from dpgo_tpu.chordal import distributed_chordal_init
+            t, R = distributed_chordal_init(self.meas, self.num_nodes,
+                                            dtype=self.dtype)
         if R is None:
             R = chordal_initialization(self.meas)
         if t is None:
             t = recover_translations_global(self.meas, R)
+        t = t - np.asarray(t).mean(axis=0, keepdims=True)
         Z = self.pack_global(t, R)
         st = star_mod.init_star_state(self.probs, Z, 0.0)
         st = st._replace(Z=communicate_star(st.Z, self.halo_owner,
