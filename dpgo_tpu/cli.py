@@ -90,19 +90,30 @@ def main(argv=None):
     rows = [(start_iter, 0.0, float(f), float(g))]
     print(f"{start_iter}: {float(f):.20g} {float(g):.20g}")
 
+    # Device-side chunked stepping: the loop between record/checkpoint
+    # boundaries runs in ONE dispatch (essential when the accelerator sits
+    # behind a network tunnel; see DPGOSolver.run_steps).
     elapsed = 0.0
-    for k in range(start_iter, args.iters):
+    k = start_iter
+    k_dev = jnp.asarray(start_iter, jnp.int32)
+    while k < args.iters:
+        nxt = min(args.iters,
+                  (k // args.record_every + 1) * args.record_every)
+        if args.checkpoint:
+            nxt = min(nxt, (k // args.checkpoint_every + 1)
+                      * args.checkpoint_every)
         t_start = time.perf_counter()
-        st = solver._step(st, jnp.asarray(k, jnp.int32))
+        st, k_dev = solver.run_steps(st, k_dev, nxt - k)
         jax.block_until_ready(st.Z.t)
         elapsed += time.perf_counter() - t_start
-        if (k + 1) % args.record_every == 0:
+        k = nxt
+        if k % args.record_every == 0 or k == args.iters:
             f, g = solver._metrics(st)
-            rows.append((k + 1, elapsed, float(f), float(g)))
-            print(f"{k + 1}: {float(f):.20g} {float(g):.20g}")
-        if args.checkpoint and (k + 1) % args.checkpoint_every == 0:
+            rows.append((k, elapsed, float(f), float(g)))
+            print(f"{k}: {float(f):.20g} {float(g):.20g}")
+        if args.checkpoint and k % args.checkpoint_every == 0:
             from dpgo_tpu.checkpoint import save_state
-            save_state(args.checkpoint, st, k + 1)
+            save_state(args.checkpoint, st, k)
 
     print("---------------------------------------")
     print(f"final objective: {rows[-1][2]}")

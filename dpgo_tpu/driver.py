@@ -58,6 +58,10 @@ class DPGOSolver:
         self.node_of = jnp.asarray(self.part.node_of)
         self.local_of = jnp.asarray(self.part.local_of)
         self._step = jax.jit(self._step_impl)
+        self._multi_step = jax.jit(self._multi_step_impl,
+                                   static_argnames=("num_steps",))
+        self._multi_step_history = jax.jit(self._multi_step_history_impl,
+                                           static_argnames=("num_steps",))
         self._first_update = jax.jit(
             partial(mm_mod.update_state, opts=self.opts,
                     k=jnp.zeros((), jnp.int32), first=True))
@@ -127,6 +131,40 @@ class DPGOSolver:
         return mm_mod.update_state(self.probs, st, self.opts, k + 1,
                                    first=False)
 
+    def _multi_step_impl(self, st: MMState, k0, num_steps: int):
+        """`num_steps` solver iterations in ONE dispatch (device-side scan).
+
+        The per-step API costs a host->device round trip per iteration — fatal
+        when the accelerator sits behind a network tunnel (observed: 5.3 ms
+        device step, 64 ms dispatch-bound). Returns (state, k0 + num_steps)
+        so the iteration counter never leaves the device between chunks.
+        """
+        def body(carry, i):
+            return self._step_impl(carry, k0 + i), None
+
+        st, _ = jax.lax.scan(body, st, jnp.arange(num_steps, dtype=jnp.int32))
+        return st, k0 + num_steps
+
+    def run_steps(self, st: MMState, k0, num_steps: int):
+        """Public chunked-stepping entry point (k0 a device int32 scalar)."""
+        return self._multi_step(st, k0, num_steps=num_steps)
+
+    def _multi_step_history_impl(self, st: MMState, k0, num_steps: int):
+        """Scan `num_steps` iterations recording (2f, 2|grad|) per step on
+        device (no host polling — the reference driver's per-iteration metric
+        series, dist_pgo.cpp:523-530)."""
+        def body(carry, i):
+            stn = self._step_impl(carry, k0 + i)
+            f, g = self._metrics_impl(stn)
+            return stn, (f, g)
+
+        st, hist = jax.lax.scan(body, st,
+                                jnp.arange(num_steps, dtype=jnp.int32))
+        return st, k0 + num_steps, hist
+
+    def run_steps_history(self, st: MMState, k0, num_steps: int):
+        return self._multi_step_history(st, k0, num_steps=num_steps)
+
     def _metrics_impl(self, st: MMState):
         t, R = self.gather_global(st)
         f = evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
@@ -163,14 +201,17 @@ class DPGOSolver:
         history.append((0, float(f), float(g)))
         if callback is not None and callback(0, st, float(f), float(g)):
             return st, np.asarray(history)
-        for k in range(num_iters):
-            st = self._step(st, jnp.asarray(k, jnp.int32))
-            if (k + 1) % record_every == 0:
-                f, g = self._metrics(st)
-                history.append((k + 1, float(f), float(g)))
-                if callback is not None and callback(k + 1, st, float(f),
-                                                     float(g)):
-                    break
+        k0 = jnp.zeros((), jnp.int32)
+        done = 0
+        while done < num_iters:
+            chunk = min(record_every, num_iters - done)
+            st, k0 = self.run_steps(st, k0, chunk)
+            done += chunk
+            f, g = self._metrics(st)
+            history.append((done, float(f), float(g)))
+            if callback is not None and callback(done, st, float(f),
+                                                 float(g)):
+                break
         return st, np.asarray(history)
 
 

@@ -188,6 +188,88 @@ class SESyncProblem:
         return jnp.concatenate([jnp.zeros((1, self.d), R.dtype), t1], axis=0)
 
 
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class SESyncExplicit:
+    """Explicit formulation: joint minimization over (t [n, r], Y [n d, r]).
+
+    The reference's Formulation::Explicit (SESync_types.h:29-46,
+    SESyncProblem.h:36-363) keeps translations as explicit variables instead
+    of eliminating them through the cached Cholesky/QR projection — the rank-r
+    lift places both the translations and the Stiefel blocks in R^r:
+
+        F(t, Y) = 1/2 sum_e  tau_e |t_i + Y_i^T t~_e - t_j|^2
+                           + kappa_e |R~_e^T Y_i - Y_j|_F^2
+
+    Euclidean x Stiefel-product geometry; the quadratic's gradient/Hessian are
+    obtained by autodiff (exact — F is quadratic in (t, Y)); the Riemannian
+    Hessian adds the usual Stiefel curvature correction on the Y part.
+    """
+
+    base: SESyncProblem
+    Ldiag_inv: jnp.ndarray  # [n] Jacobi inverse of the tau-Laplacian diagonal
+
+    def objective(self, x):
+        t, Y = x
+        B = self.base._blocks(Y)
+        Bi = B[self.base.ei]
+        rt = (t[self.base.ei]
+              + jnp.einsum("ear,ea->er", Bi, self.base.et)
+              - t[self.base.ej])
+        rR = jnp.einsum("eab,ear->ebr", self.base.eR, Bi) - B[self.base.ej]
+        return 0.5 * (jnp.sum(self.base.tau * jnp.sum(rt * rt, -1))
+                      + jnp.sum(self.base.kappa * jnp.sum(rR * rR, (-1, -2))))
+
+    def _eucl_grad(self, x):
+        return jax.grad(self.objective)(x)
+
+    def proj_tangent(self, x, v):
+        return (v[0], self.base.proj_tangent(x[1], v[1]))
+
+    def riemannian_grad(self, x, nabla=None):
+        if nabla is None:
+            nabla = self._eucl_grad(x)
+        return self.proj_tangent(x, nabla)
+
+    def hess_vp(self, x, nabla, v):
+        _, Hv = jax.jvp(self._eucl_grad, (x,), (v,))
+        HvY = Hv[1] - self.base.sym_block_product(v[1], x[1], nabla[1])
+        return self.proj_tangent(x, (Hv[0], HvY))
+
+    def precondition(self, x, v):
+        pt = self.Ldiag_inv[:, None] * v[0]
+        pY = self.base.precondition(x[1], v[1])
+        return (pt, pY)
+
+    def retract(self, x, v):
+        return (x[0] + v[0], self.base.project_blocks(x[1] + v[1]))
+
+    def tnt_model(self) -> TNTModel:
+        def grad_and_nabla(x):
+            nabla = self._eucl_grad(x)
+            return self.proj_tangent(x, nabla), nabla
+
+        return TNTModel(
+            objective=self.objective,
+            grad_and_nabla=grad_and_nabla,
+            hess_vp=self.hess_vp,
+            precondition=self.precondition,
+            retract=self.retract,
+        )
+
+
+def build_sesync_explicit(meas: Measurements,
+                          dtype=jnp.float64) -> SESyncExplicit:
+    base = build_sesync_problem(meas, dtype=dtype)
+    Ldiag = np.zeros((meas.num_poses,))
+    np.add.at(Ldiag, meas.i, meas.tau)
+    np.add.at(Ldiag, meas.j, meas.tau)
+    # The tau-Laplacian is singular along the all-ones gauge direction; the
+    # Jacobi diagonal is strictly positive on connected graphs.
+    return SESyncExplicit(base=base,
+                          Ldiag_inv=jnp.asarray(1.0 / Ldiag, dtype))
+
+
 def build_sesync_problem(meas: Measurements, dtype=jnp.float64,
                          formulation: str = "simplified") -> SESyncProblem:
     P, d, m = meas.num_poses, meas.d, len(meas)

@@ -88,11 +88,22 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200):
 
 
 def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
-           dtype=jnp.float64, Y0: np.ndarray | None = None) -> SESyncResult:
-    """Full certifiably-correct solve (Riemannian staircase)."""
+           dtype=jnp.float64, Y0: np.ndarray | None = None,
+           formulation: str = "simplified") -> SESyncResult:
+    """Full certifiably-correct solve (Riemannian staircase).
+
+    formulation: "simplified" (translation-eliminated, the default),
+    "sosync" (rotation-only), or "explicit" (joint (t, Y) variables —
+    reference Formulation::Explicit). Certification always runs on the
+    translation-eliminated certificate: at a joint stationary point the
+    translations are optimal given Y, so Y is stationary for the reduced
+    problem and the same dual certificate S = Q - Lambda applies.
+    """
     from dpgo_tpu.sesync.init import chordal_initialization
 
-    prob = build_sesync_problem(meas, dtype=dtype)
+    prob = build_sesync_problem(
+        meas, dtype=dtype,
+        formulation="sosync" if formulation == "sosync" else "simplified")
     d, n = prob.d, prob.n
     r = opts.r0 or d
 
@@ -105,15 +116,29 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
         Y = jnp.concatenate(
             [Y, jnp.zeros((n * d, r - Y.shape[1]), dtype)], axis=1)
 
-    solve = jax.jit(lambda Y: tnt_generic(prob.tnt_model(), Y, opts.tnt),
-                    static_argnums=())
+    explicit = formulation == "explicit"
+    if explicit:
+        from dpgo_tpu.sesync.problem import build_sesync_explicit
+        eprob = build_sesync_explicit(meas, dtype=dtype)
+        Rc = prob.round_solution(Y)
+        t = prob.recover_translations(Rc)
+        t = jnp.concatenate(
+            [t, jnp.zeros((n, Y.shape[1] - d), dtype)], axis=1)
+        solve_e = jax.jit(
+            lambda x: tnt_generic(eprob.tnt_model(), x, opts.tnt))
+    else:
+        solve = jax.jit(lambda Y: tnt_generic(prob.tnt_model(), Y, opts.tnt),
+                        static_argnums=())
     key = jax.random.PRNGKey(0)
 
     status = "MaxRank"
     lam_min = np.nan
     vec = None
     for rank in range(r, opts.rmax + 1):
-        Y, fY, gn, acc = solve(Y)
+        if explicit:
+            (t, Y), fY, gn, acc = solve_e((t, Y))
+        else:
+            Y, fY, gn, acc = solve(Y)
         Lam = prob.Lambda_blocks(Y)
         apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
         key, sub = jax.random.split(key)
@@ -144,6 +169,8 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
             alpha *= 0.5
         Y = Y_next if Y_next is not None else prob.retract(
             Yl, opts.escape_step * Vdir)
+        if explicit:
+            t = jnp.concatenate([t, jnp.zeros((n, 1), dtype)], axis=1)
 
     sdp_val = float(prob.objective(Y))
     R = prob.round_solution(Y)

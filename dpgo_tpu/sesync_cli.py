@@ -3,7 +3,7 @@ example binary, C++/SESync/examples).
 
 Usage:
     python -m dpgo_tpu.sesync_cli --dataset path.g2o [--rmax 6]
-        [--formulation simplified|sosync] [--save]
+        [--formulation simplified|sosync|explicit] [--save]
 """
 
 from __future__ import annotations
@@ -19,7 +19,7 @@ def main(argv=None):
     ap.add_argument("--dataset", required=True)
     ap.add_argument("--rmax", type=int, default=6)
     ap.add_argument("--formulation", default="simplified",
-                    choices=["simplified", "sosync"])
+                    choices=["simplified", "sosync", "explicit"])
     ap.add_argument("--min_eig_tol", type=float, default=1e-5)
     ap.add_argument("--save", action="store_true")
     args = ap.parse_args(argv)
@@ -36,7 +36,8 @@ def main(argv=None):
 
     t0 = time.time()
     res = sesync(meas, SESyncOpts(rmax=args.rmax,
-                                  min_eig_tol=args.min_eig_tol))
+                                  min_eig_tol=args.min_eig_tol),
+                 formulation=args.formulation)
     dt = time.time() - t0
     print(f"status: {res.status}  (rank {res.rank}, {dt:.1f}s)")
     print(f"SDP value (2x):     {2 * res.sdp_val:.12g}")

@@ -44,6 +44,54 @@ def test_sesync_certifies_csail():
     np.testing.assert_allclose(2 * res.fxhat, 31.7037158836, rtol=1e-8)
 
 
+def test_explicit_formulation_matches_simplified(rng):
+    """Explicit (joint (t, Y)) staircase reaches the same certified optimum
+    as the translation-eliminated Simplified formulation."""
+    meas, _, _ = random_pose_graph(rng, num_poses=30, d=3, noise=0.05)
+    res_s = sesync(meas)
+    res_e = sesync(meas, formulation="explicit")
+    assert res_s.status == "GlobalOpt"
+    assert res_e.status == "GlobalOpt"
+    np.testing.assert_allclose(res_e.fxhat, res_s.fxhat, rtol=1e-7)
+    # Explicit's joint gradient must vanish at its solution: validate via the
+    # full objective with the returned (t, R).
+    edges = EdgeData.from_measurements(meas)
+    f_e = float(evaluate_f(edges, jnp.asarray(res_e.t), jnp.asarray(res_e.R)))
+    np.testing.assert_allclose(f_e, res_e.fxhat, rtol=1e-9)
+
+
+def test_explicit_gradient_and_hessian(rng):
+    """Autodiff gradient of the explicit objective matches finite differences,
+    and the Riemannian Hessian-vp is symmetric on the tangent space."""
+    from dpgo_tpu.sesync.problem import build_sesync_explicit
+    meas, _, _ = random_pose_graph(rng, num_poses=12, d=3)
+    ep = build_sesync_explicit(meas)
+    n, d = ep.base.n, ep.base.d
+    r = d + 1
+    Y = ep.base.project_blocks(
+        jnp.asarray(rng.normal(size=(n * d, r))))
+    t = jnp.asarray(rng.normal(size=(n, r)))
+    x = (t, Y)
+    g, nabla = ep.tnt_model().grad_and_nabla(x)
+
+    def rand_tangent():
+        v = (jnp.asarray(rng.normal(size=t.shape)),
+             jnp.asarray(rng.normal(size=Y.shape)))
+        return ep.proj_tangent(x, v)
+
+    u, v = rand_tangent(), rand_tangent()
+    Hu = ep.hess_vp(x, nabla, u)
+    Hv = ep.hess_vp(x, nabla, v)
+    ip = lambda a, b: float(jnp.sum(a[0] * b[0]) + jnp.sum(a[1] * b[1]))
+    np.testing.assert_allclose(ip(v, Hu), ip(u, Hv), rtol=1e-9)
+    # Directional derivative check.
+    eps = 1e-6
+    f0 = float(ep.objective(x))
+    f1 = float(ep.objective((t + eps * u[0], Y + eps * u[1])))
+    np.testing.assert_allclose((f1 - f0) / eps, ip(u, nabla), rtol=1e-4,
+                               atol=1e-8)
+
+
 def test_certify_dpgo_output():
     """AMM-PGO# output on CSAIL certifies as (near-)globally optimal."""
     from dpgo_tpu.driver import DPGOSolver

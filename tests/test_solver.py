@@ -93,3 +93,23 @@ def test_star_solver_matches_hash_on_easy_graph():
     _, hist_s = star_solver.run(40, record_every=10)
     np.testing.assert_allclose(hist_s[:, 1], hist_h[:, 1], rtol=1e-6)
     assert hist_s[-1, 2] < 0.5
+
+
+def test_device_scan_matches_per_step(rng):
+    """run_steps / run_steps_history (one-dispatch device loops) reproduce the
+    per-step stepping bit-for-bit, including the restart state machine."""
+    meas, _, _ = random_pose_graph(rng, num_poses=40, d=3)
+    s = DPGOSolver(meas, num_nodes=3, opts=MMOptions(accelerated=True))
+    st = s.initialize()
+    st_a = st
+    for k in range(10):
+        st_a = s._step(st_a, jnp.asarray(k, jnp.int32))
+    fa, ga = s._metrics(st_a)
+    st_b, k0 = s.run_steps(st, jnp.zeros((), jnp.int32), 10)
+    fb, gb = s._metrics(st_b)
+    assert int(k0) == 10
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    st_c, _, (fh, gh) = s.run_steps_history(st, jnp.zeros((), jnp.int32), 10)
+    assert fh.shape == (10,)
+    np.testing.assert_array_equal(np.asarray(fh[-1]), np.asarray(fb))
