@@ -55,14 +55,17 @@ def main():
     n_iters = 150
     k0 = jnp.zeros((), jnp.int32)
     stw, _ = solver.run_steps(st, k0, n_iters)
-    jax.block_until_ready(stw.fobj)
+    np.asarray(stw.fobj)  # device_get: true sync through the tunnel
     stw, _, _ = solver.run_steps_history(st, k0, n_iters)
-    jax.block_until_ready(stw.fobj)
+    np.asarray(stw.fobj)  # device_get: true sync through the tunnel
 
-    # Pure-throughput phase: ONE dispatch for all 150 iterations.
+    # Pure-throughput phase: ONE dispatch for all 150 iterations, from fresh
+    # input buffers (the tunnel appears to memoize executions on identical
+    # input buffers — observed 0.4 ms for a 150-iteration re-run).
+    st = solver.initialize()
     t0 = time.perf_counter()
     st, _ = solver.run_steps(st, k0, n_iters)
-    jax.block_until_ready(st.fobj)
+    np.asarray(st.fobj)  # device_get: true sync (block_until_ready is unreliable through the axon tunnel)
     dt = time.perf_counter() - t0
     ips = n_iters / dt
     f1, g1 = solver._metrics(st)
@@ -74,9 +77,8 @@ def main():
     k0 = jnp.zeros((), jnp.int32)
     t0 = time.perf_counter()
     st, _, (fhist, _) = solver.run_steps_history(st, k0, n_iters)
-    jax.block_until_ready(fhist)
+    fhist = np.asarray(fhist)  # device_get: true sync
     dt_hist = time.perf_counter() - t0
-    fhist = np.asarray(fhist)
     secs_to_opt = None
     iters_to_opt = None
     hit = np.nonzero(fhist <= target)[0]
@@ -113,11 +115,6 @@ def main():
         },
     }))
 
-    try:
-        with open(prev_file, "w") as fh:
-            json.dump({"value": ips}, fh)
-    except Exception:
-        pass
 
 
 if __name__ == "__main__":

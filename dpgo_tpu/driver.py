@@ -46,9 +46,12 @@ class DPGOSolver:
         self.opts = opts or MMOptions()
         self.dtype = dtype
         self.part, self.nodes, self.mg = build_multigraph(meas, num_nodes)
+        precon_cond = self.opts.precon_cond
+        if precon_cond is None:
+            precon_cond = 1e6 if dtype == jnp.float64 else 1e5
         self.probs = build_node_problems(
             self.mg, xi=self.opts.regularizer, loss=loss, loss_reg=loss_reg,
-            dtype=dtype)
+            precon_cond=precon_cond, dtype=dtype)
         self.edges = EdgeData.from_measurements(
             meas, node_of=self.part.node_of, dtype=dtype)
         self.loss = loss

@@ -98,6 +98,12 @@ class NodeProblem:
     mG00_d: jnp.ndarray      # [n0, n0]
     mG01_d: jnp.ndarray      # [n0, n0 d]
     mG11_d: jnp.ndarray      # [n0 d, n0 d]
+    # Dense regularized preconditioner (mG11 + (lambda_max/cond) I)^{-1}:
+    # the role of the reference's RegularizedCholesky CHOLMOD factor
+    # (DPGOProblem.cpp:96-124). Block-Jacobi (precon_inv) cuts STPCG's
+    # per-iteration cost but needs ~50 CG iterations on these graphs; the
+    # dense inverse needs <10 at the cost of one extra matmul per iteration.
+    precon_dense: jnp.ndarray  # [n0 d, n0 d] (zeros when not dense)
 
     # Dynamic rescale (Rescale::Dynamic): persisted per-inter-edge surrogate
     # weights w_bar (DiagReScale in the reference, DPGOProblem.cpp:751-840).
@@ -542,11 +548,10 @@ class NodeProblem:
         return out
 
     def precondition_tall(self, Q, V):
-        d = self.d
-        P = jnp.einsum("nab,nbr->nar", jnp.swapaxes(self.precon_inv, -1, -2),
-                       V.reshape(-1, d, d),
-                       precision=jax.lax.Precision.DEFAULT
-                       ).reshape(V.shape)
+        # A preconditioner only needs to be a fixed SPD operator, so the
+        # matmul runs at the fast MXU precision like the Hessian matvecs.
+        P = jnp.matmul(self.precon_dense, V,
+                       precision=jax.lax.Precision.DEFAULT)
         return self.proj_tall(Q, P)
 
     def recover_translations_tall(self, Q, g_t):
@@ -804,6 +809,19 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     jac_reg = jac + reg[:, None, None, None] * np.eye(d)
     precon_inv = np.linalg.inv(jac_reg)
 
+    # Dense regularized inverse preconditioner (reference RegularizedCholesky
+    # role): computed once at setup in f64, applied as one matmul per STPCG
+    # iteration. Stays fixed under dynamic rescale (w <= 1 only shrinks mG11,
+    # so the base inverse remains a valid SPD preconditioner; the reference
+    # refactorizes instead, DPGOProblem.cpp:751-840).
+    if dense:
+        nd = n0m * d
+        precon_dense = np.zeros((N, nd, nd))
+        for a in range(N):
+            precon_dense[a] = np.linalg.inv(mG11_d[a] + reg[a] * np.eye(nd))
+    else:
+        precon_dense = np.zeros((N, 1, 1))
+
     # Inter-pose selector + base-inverse columns for the dynamic-rescale
     # Woodbury translation solve.
     ipose_list = [np.unique(mg.e_self[a][mg.e_mask[a]]) for a in range(N)]
@@ -828,7 +846,7 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         Minv_red=cast(Minv_red), null_V=cast(null_V),
         precon_inv=cast(precon_inv),
         dense=dense, mG00_d=cast(mG00_full), mG01_d=cast(mG01_d),
-        mG11_d=cast(mG11_d),
+        mG11_d=cast(mG11_d), precon_dense=cast(precon_dense),
         dynamic=False, scale_w=jnp.ones((N, mg.m1_max), dtype),
         ipose=jnp.asarray(ipose), imask=jnp.asarray(imask),
         SU=cast(SU), wood_C=jnp.zeros((N, kmax, kmax), dtype),

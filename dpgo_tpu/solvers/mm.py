@@ -40,6 +40,14 @@ class MMOptions:
     accelerated: bool = True
     regularizer: float = 1e-11
     accepted_delta: float = 5e-4
+    # Max admissible condition number of the regularized (dense / Jacobi)
+    # STPCG preconditioner (reference
+    # reg_Cholesky_precon_max_condition_number, DPGO_types.h:159). None =
+    # auto by dtype: 1e6 (the reference default) in f64; 1e5 in f32, where a
+    # 1e6-conditioned inverse amplifies rounding noise along mG11's
+    # near-null space (measured on sphere2500/TPU: 1e5 is both faster and
+    # more accurate than 1e6).
+    precon_cond: float | None = None
     rescale: str = "static"          # "static" | "dynamic" (robust losses)
     max_rescale_count: int = 5
     min_rescale: float = 0.01

@@ -14,14 +14,17 @@ from tests.conftest import dataset_path
 from tests.synthetic import random_pose_graph
 
 
-@pytest.mark.parametrize("accelerated", [False, True])
-def test_sharded_matches_vmapped(rng, accelerated):
+@pytest.mark.parametrize("accelerated,halo", [(False, "boundary"),
+                                              (True, "boundary"),
+                                              (True, "gather"),
+                                              (True, "ring")])
+def test_sharded_matches_vmapped(rng, accelerated, halo):
     if len(jax.devices()) < 8:
         pytest.skip("needs 8 virtual devices")
     meas, _, _ = random_pose_graph(rng, num_poses=64, d=3, loop_closures=40)
     opts = MMOptions(accelerated=accelerated)
     ref = DPGOSolver(meas, num_nodes=8, opts=opts)
-    shd = ShardedDPGOSolver(meas, num_nodes=8, opts=opts)
+    shd = ShardedDPGOSolver(meas, num_nodes=8, opts=opts, halo=halo)
     st_r, hist_r = ref.run(12, record_every=3)
     st_s = shd.initialize()
     hist_s = []
@@ -50,6 +53,39 @@ def test_sharded_csail_converges():
     f1, g1 = shd._metrics(st)
     assert float(f1) < float(f0)
     assert np.isfinite(float(g1))
+
+
+def test_sharded_scan_matches_per_step(rng):
+    """run_steps (device scan) on the sharded solver == per-step stepping."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    meas, _, _ = random_pose_graph(rng, num_poses=64, d=3, loop_closures=40)
+    shd = ShardedDPGOSolver(meas, num_nodes=8, opts=MMOptions())
+    st = shd.initialize()
+    st_a = st
+    for k in range(8):
+        st_a = shd._step(st_a, jnp.asarray(k, jnp.int32))
+    st_b, k0 = shd.run_steps(st, jnp.zeros((), jnp.int32), 8)
+    fa, _ = shd._metrics(st_a)
+    fb, _ = shd._metrics(st_b)
+    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
+
+
+def test_halo_schedule_compaction(rng):
+    """The boundary schedule reproduces exactly the full-gather halos."""
+    from dpgo_tpu.parallel.spmd import build_halo_schedule
+    meas, _, _ = random_pose_graph(rng, num_poses=60, d=3, loop_closures=30)
+    ref = DPGOSolver(meas, num_nodes=6)
+    mg = ref.mg
+    sched = build_halo_schedule(mg)
+    assert sched.B <= mg.n0_max
+    st = ref.initialize()
+    # Full-gather halo (driver.communicate semantics).
+    th_full = st.Z.t[jnp.asarray(mg.halo_owner), jnp.asarray(mg.halo_lpose)]
+    # Compacted: owner boundary buffers -> slot lookup.
+    tb = st.Z.t[np.arange(mg.num_nodes)[:, None], sched.bnd]
+    th_c = tb[jnp.asarray(mg.halo_owner), jnp.asarray(sched.halo_slot)]
+    np.testing.assert_array_equal(np.asarray(th_full), np.asarray(th_c))
 
 
 def test_sharded_star_matches_local(rng):
