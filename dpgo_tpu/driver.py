@@ -60,15 +60,44 @@ class DPGOSolver:
         self.halo_lpose = jnp.asarray(self.mg.halo_lpose)
         self.node_of = jnp.asarray(self.part.node_of)
         self.local_of = jnp.asarray(self.part.local_of)
-        self._step = jax.jit(self._step_impl)
-        self._multi_step = jax.jit(self._multi_step_impl,
-                                   static_argnames=("num_steps",))
-        self._multi_step_history = jax.jit(self._multi_step_history_impl,
-                                           static_argnames=("num_steps",))
+        # Small problems EMBED the problem arrays as jit closure constants —
+        # XLA folds/pre-lays-out them, worth ~18% step throughput on
+        # sphere2500. Large problems pass them as jit ARGUMENTS instead:
+        # closure constants are serialized into the remote-compile request,
+        # which the axon tunnel rejects past ~100 MB (observed HTTP 413 on
+        # city10000/16 nodes, whose precon_dense alone is ~100 MB).
+        probs_bytes = sum(x.nbytes for x in jax.tree.leaves(self.probs))
+        self._embed_consts = probs_bytes < 80 * 2**20
+        self._make_jits()
         self._first_update = jax.jit(
             partial(mm_mod.update_state, opts=self.opts,
                     k=jnp.zeros((), jnp.int32), first=True))
         self._metrics = jax.jit(self._metrics_impl)
+
+    def _make_jits(self):
+        if self._embed_consts:
+            self._step_jit = jax.jit(
+                lambda st, k: self._step_impl(self.probs, st, k))
+            self._multi_step = jax.jit(
+                lambda st, k0, num_steps: self._multi_step_impl(
+                    self.probs, st, k0, num_steps),
+                static_argnames=("num_steps",))
+            self._multi_step_history = jax.jit(
+                lambda st, k0, num_steps: self._multi_step_history_impl(
+                    self.probs, st, k0, num_steps),
+                static_argnames=("num_steps",))
+        else:
+            self._step_jit = jax.jit(self._step_impl)
+            self._multi_step = jax.jit(self._multi_step_impl,
+                                       static_argnames=("num_steps",))
+            self._multi_step_history = jax.jit(
+                self._multi_step_history_impl,
+                static_argnames=("num_steps",))
+
+    def _step(self, st: MMState, k):
+        if self._embed_consts:
+            return self._step_jit(st, k)
+        return self._step_jit(self.probs, st, k)
 
     # ----------------------------------------------------------- init
 
@@ -121,8 +150,8 @@ class DPGOSolver:
 
     # ----------------------------------------------------------- stepping
 
-    def _step_impl(self, st: MMState, k):
-        probs_w = mm_mod.reweighted_problems(self.probs, st, self.opts)
+    def _step_impl(self, probs: NodeProblem, st: MMState, k):
+        probs_w = mm_mod.reweighted_problems(probs, st, self.opts)
         if self.opts.accelerated:
             st = mm_mod.iterate_amm(probs_w, st, self.opts, k)
         else:
@@ -131,10 +160,10 @@ class DPGOSolver:
         # Z_prev (stamped inside iterate) is the previous anchor including the
         # halo of the previous round's communicate — exactly the reference's
         # X[iter-1] as consumed by DPGOHash::update.
-        return mm_mod.update_state(self.probs, st, self.opts, k + 1,
+        return mm_mod.update_state(probs, st, self.opts, k + 1,
                                    first=False)
 
-    def _multi_step_impl(self, st: MMState, k0, num_steps: int):
+    def _multi_step_impl(self, probs, st: MMState, k0, num_steps: int):
         """`num_steps` solver iterations in ONE dispatch (device-side scan).
 
         The per-step API costs a host->device round trip per iteration — fatal
@@ -143,21 +172,24 @@ class DPGOSolver:
         so the iteration counter never leaves the device between chunks.
         """
         def body(carry, i):
-            return self._step_impl(carry, k0 + i), None
+            return self._step_impl(probs, carry, k0 + i), None
 
         st, _ = jax.lax.scan(body, st, jnp.arange(num_steps, dtype=jnp.int32))
         return st, k0 + num_steps
 
     def run_steps(self, st: MMState, k0, num_steps: int):
         """Public chunked-stepping entry point (k0 a device int32 scalar)."""
-        return self._multi_step(st, k0, num_steps=num_steps)
+        if self._embed_consts:
+            return self._multi_step(st, k0, num_steps=num_steps)
+        return self._multi_step(self.probs, st, k0, num_steps=num_steps)
 
-    def _multi_step_history_impl(self, st: MMState, k0, num_steps: int):
+    def _multi_step_history_impl(self, probs, st: MMState, k0,
+                                 num_steps: int):
         """Scan `num_steps` iterations recording (2f, 2|grad|) per step on
         device (no host polling — the reference driver's per-iteration metric
         series, dist_pgo.cpp:523-530)."""
         def body(carry, i):
-            stn = self._step_impl(carry, k0 + i)
+            stn = self._step_impl(probs, carry, k0 + i)
             f, g = self._metrics_impl(stn)
             return stn, (f, g)
 
@@ -166,7 +198,10 @@ class DPGOSolver:
         return st, k0 + num_steps, hist
 
     def run_steps_history(self, st: MMState, k0, num_steps: int):
-        return self._multi_step_history(st, k0, num_steps=num_steps)
+        if self._embed_consts:
+            return self._multi_step_history(st, k0, num_steps=num_steps)
+        return self._multi_step_history(self.probs, st, k0,
+                                        num_steps=num_steps)
 
     def _metrics_impl(self, st: MMState):
         t, R = self.gather_global(st)
@@ -247,12 +282,12 @@ class DPGOStarSolver(DPGOSolver):
         return jax.jit(partial(star_mod.update_star, opts=self.opts,
                                first=True))(self.probs, st)
 
-    def _step_impl(self, st, k):
-        st = star_mod.iterate_star(self.probs, st, self.opts,
+    def _step_impl(self, probs, st, k):
+        st = star_mod.iterate_star(probs, st, self.opts,
                                    self._global_f, k)
         st = st._replace(Z=communicate_star(st.Z, self.halo_owner,
                                             self.halo_lpose))
-        return star_mod.update_star(self.probs, st, self.opts, first=False)
+        return star_mod.update_star(probs, st, self.opts, first=False)
 
     def _metrics_impl(self, st):
         t, R = self.gather_global(st)

@@ -167,11 +167,8 @@ class ShardedDPGOSolver(DPGOSolver):
         self.ring_rounds = _ring_rounds(self.mg, ndev) if halo == "ring" \
             else 0
         self._node_sharding = NamedSharding(mesh, P("nodes"))
-        self._step = jax.jit(self._step_impl)
-        self._multi_step = jax.jit(self._multi_step_impl,
-                                   static_argnames=("num_steps",))
-        self._multi_step_history = jax.jit(self._multi_step_history_impl,
-                                           static_argnames=("num_steps",))
+        # _make_jits already ran in super().__init__ with late-bound method
+        # dispatch, so the jitted entry points trace THIS class's _step_impl.
 
     # The per-leaf spec: every per-node array has the node axis leading.
     def _shard_state(self, st: MMState) -> MMState:
@@ -187,7 +184,7 @@ class ShardedDPGOSolver(DPGOSolver):
                               self.halo, self.num_devices,
                               self.nodes_per_dev, self.ring_rounds)
 
-    def _step_impl(self, st: MMState, k):
+    def _step_impl(self, probs, st: MMState, k):
         opts = self.opts
         nspec = P("nodes")
 
@@ -210,7 +207,7 @@ class ShardedDPGOSolver(DPGOSolver):
             return mm_mod.update_state(probs_l, st2, opts, kk + 1,
                                        first=False)
 
-        return step(self.probs, st, self.halo_owner, self.halo_lpose,
+        return step(probs, st, self.halo_owner, self.halo_lpose,
                     self.halo_slot, self.bnd, k)
 
 
@@ -243,11 +240,6 @@ class ShardedDPGOStarSolver(DPGOStarSolver):
         self.ring_rounds = _ring_rounds(self.mg, self.num_devices) \
             if halo == "ring" else 0
         self._node_sharding = NamedSharding(mesh, P("nodes"))
-        self._step = jax.jit(self._step_impl)
-        self._multi_step = jax.jit(self._multi_step_impl,
-                                   static_argnames=("num_steps",))
-        self._multi_step_history = jax.jit(self._multi_step_history_impl,
-                                           static_argnames=("num_steps",))
 
     def _state_spec(self, st):
         # Node-axis leaves are sharded; scalar leaves (the master reference
@@ -269,7 +261,7 @@ class ShardedDPGOStarSolver(DPGOStarSolver):
                               self.halo, self.num_devices,
                               self.nodes_per_dev, self.ring_rounds)
 
-    def _step_impl(self, st, k):
+    def _step_impl(self, probs, st, k):
         opts = self.opts
         nspec = P("nodes")
         sspec = self._state_spec(st)
@@ -295,5 +287,5 @@ class ShardedDPGOStarSolver(DPGOStarSolver):
             st2 = st2._replace(Z=Z)
             return star_mod.update_star(probs_l, st2, opts, first=False)
 
-        return step(self.probs, st, self.halo_owner, self.halo_lpose,
+        return step(probs, st, self.halo_owner, self.halo_lpose,
                     self.halo_slot, self.bnd, k)

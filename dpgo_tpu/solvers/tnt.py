@@ -41,7 +41,12 @@ class TNTParams:
     alpha2: float = 2.5
     max_iterations: int = 10
     max_iterations_accepted: int = 1
-    max_tCG_iterations: int = 10000
+    # The reference defaults to 10000 (DPGO_types.h:167); with the dense
+    # regularized preconditioner STPCG needs <10 iterations, and a hard cap
+    # bounds worst-case step time (all vmapped lanes run until the slowest
+    # finishes). Truncation only shortens the Newton step — trust-region
+    # acceptance still guards quality.
+    max_tCG_iterations: int = 250
     kappa_fgr: float = 0.05
     theta: float = 0.9
 

@@ -101,7 +101,7 @@ def test_certify_dpgo_output():
     # certification of the staircase solution itself
     ok, lam, bound, fx = certify_solution(meas, res.R)
     assert ok
-    assert bound == 0.0
+    assert bound < 1e-10
 
 
 def test_hessian_vp_symmetry_stiefel(rng):

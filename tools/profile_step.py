@@ -31,7 +31,7 @@ def timeit(name, fn, *args, n=10):
     return out
 
 step = jax.jit(solver._step_impl)
-timeit("full step", step, st, jnp.asarray(1, jnp.int32), n=10)
+timeit("full step", step, probs, st, jnp.asarray(1, jnp.int32), n=10)
 tb = jax.jit(lambda st: _tnt_batch(probs, st.Z.t, st.Z.R, st.g_t, st.g_R, st.f, solver.opts.tnt))
 timeit("tnt batch (dense)", tb, st, n=10)
 # measure sustained: 50 steps
