@@ -34,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--loss", default="trivial",
                     choices=["trivial", "huber", "geman_mcclure", "welsch"])
     ap.add_argument("--loss_reg", type=float, default=0.25)
+    ap.add_argument("--rescale", default="static",
+                    choices=["static", "dynamic"],
+                    help="robust-loss surrogate reweighting mode "
+                         "(reference Rescale::{Static,Dynamic})")
     ap.add_argument("--accelerated", type=_bool, default=True)
     ap.add_argument("--solver", default="hash", choices=["hash", "star"])
     ap.add_argument("--pcm", action="store_true",
@@ -74,7 +78,7 @@ def main(argv=None):
                                 PCMOptions(tolerance=args.pcm_tolerance))
         print(f"PCM kept {keep.sum()}/{len(keep)} edges")
 
-    opts = MMOptions(accelerated=args.accelerated)
+    opts = MMOptions(accelerated=args.accelerated, rescale=args.rescale)
     cls = DPGOStarSolver if args.solver == "star" else DPGOSolver
     solver = cls(meas, num_nodes=args.num_nodes, opts=opts, loss=loss,
                  loss_reg=args.loss_reg, dtype=dtype)

@@ -67,7 +67,13 @@ class DPGOSolver:
         # which the axon tunnel rejects past ~100 MB (observed HTTP 413 on
         # city10000/16 nodes, whose precon_dense alone is ~100 MB).
         probs_bytes = sum(x.nbytes for x in jax.tree.leaves(self.probs))
-        self._embed_consts = probs_bytes < 80 * 2**20
+        # NEVER embed when the dynamic-rescale path is traced: on the TPU
+        # backend, the with_weights graph (scatter-adds into the problem
+        # matrices) MISCOMPILES over embedded constants — observed CSAIL
+        # huber+dynamic producing 2f = 1379 from the constant-embedded step
+        # vs 28.69 from the argument-passing step on the identical state.
+        dynamic = self.opts.rescale == "dynamic" and loss is not Loss.TRIVIAL
+        self._embed_consts = probs_bytes < 80 * 2**20 and not dynamic
         self._make_jits()
         self._first_update = jax.jit(
             partial(mm_mod.update_state, opts=self.opts,

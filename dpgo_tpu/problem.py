@@ -323,6 +323,34 @@ class NodeProblem:
         Df_R = Df_R + g2R + self.xi * R
         return Df_t, Df_R
 
+    def evaluate_G_rel(self, zt, zR, xt, xR, g, fobj) -> jnp.ndarray:
+        """Surrogate value G(X|Z) in RELATIVE form, anchored at the node
+        objective: G(X|Z) = F^a(Z) + 1/2(<GX,X> - <GZ,Z>) + <g, X-Z>, with
+        the quadratic difference expanded PER EDGE as
+        (q_e(X)-q_e(Z))(q_e(X)+q_e(Z)).
+
+        Numerically essential in f32: the absolute form 1/2<GX,X>+<g,X>+f
+        cancels ~1e4-magnitude bilinear terms down to an O(1) value (a few
+        bits of precision), and the restart cascade compares that value
+        against fobj — one flipped comparison can accept a catastrophic
+        step (observed: huber+dynamic rescale diverging on TPU). The
+        relative form only ever multiplies O(|X-Z|) by O(residual)."""
+        def sq_diff(aX, aZ):
+            return jnp.sum((aX - aZ) * (aX + aZ))
+
+        rtZ, rRZ = self.intra_residuals(zt, zR)
+        rtX, rRX = self.intra_residuals(xt, xR)
+        dq = sq_diff(rtX, rtZ) + sq_diff(rRX, rRZ)
+        usZ, EsZ = self._self_half(zt, zR)
+        usX, EsX = self._self_half(xt, xR)
+        dq = dq + 2.0 * jnp.sum(
+            self.scale_w * (jnp.sum((usX - usZ) * (usX + usZ), -1)
+                            + jnp.sum((EsX - EsZ) * (EsX + EsZ), (-1, -2))))
+        dq = dq + self.xi * (sq_diff(xt, zt) + sq_diff(xR, zR))
+        g_t, g_R = g
+        lin = jnp.sum(g_t * (xt - zt)) + jnp.sum(g_R * (xR - zR))
+        return fobj + 0.5 * dq + lin
+
     def evaluate_G(self, t, R, g, f) -> jnp.ndarray:
         """G^a value = 1/2 <G X, X> + <g, X> + f (DPGOProblem.cpp:180-205)."""
         g_t, g_R = g

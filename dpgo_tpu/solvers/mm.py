@@ -332,9 +332,12 @@ def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
 # -------------------------------------------------------------------- iterate
 
 
-def _eval_G_batch(probs, t, R, g_t, g_R, f):
-    return jax.vmap(lambda p, a, b, c, d_, e: p.evaluate_G(a, b, (c, d_), e))(
-        probs, t, R, g_t, g_R, f)
+def _eval_G_batch(probs, st: MMState, t, R):
+    """G(X|Z) for candidate own states X, in the f32-stable relative form
+    anchored at the current state's (Z, fobj, g)."""
+    return jax.vmap(lambda p, zt, zR, fo, gt, gR, xt, xR:
+                    p.evaluate_G_rel(zt, zR, xt, xR, (gt, gR), fo))(
+        probs, st.Z.t, st.Z.R, st.fobj, st.g_t, st.g_R, t, R)
 
 
 def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
@@ -372,7 +375,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
     # Proximal step from the extrapolated point (Xakh).
     th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
         probs, Y, Df_t_ex, Df_R_ex)
-    Gkh = _eval_G_batch(probs, th_t, th_R, st.g_t, st.g_R, st.f)
+    Gkh = _eval_G_batch(probs, st, th_t, th_R)
 
     diff_t = th_t - st.Z.t
     diff_R = th_R - st.Z.R
@@ -386,14 +389,14 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         probs, th_R, g_t_ex)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex, st.f,
                                   refined, opts.tnt, Gkh)
-    Gk = _eval_G_batch(probs, Xak_t, Xak_R, st.g_t, st.g_R, st.f)
+    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R)
 
     # Retry the un-extrapolated proximal if Gkh insufficient
     # (DPGOHash.cpp:386-389).
     need_retry = Gkh > minG
     tp_t, tp_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
         probs, st.Z, st.Df_t, st.Df_R)
-    Gkp = _eval_G_batch(probs, tp_t, tp_R, st.g_t, st.g_R, st.f)
+    Gkp = _eval_G_batch(probs, st, tp_t, tp_R)
     Xakh_t = jnp.where(need_retry[:, None, None], tp_t, th_t)
     Xakh_R = jnp.where(need_retry[:, None, None, None], tp_R, th_R)
     Gkh = jnp.where(need_retry, Gkp, Gkh)
@@ -410,12 +413,16 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
     r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
     r_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
         probs, r_R, st.g_t)
-    r_G = _eval_G_batch(probs, r_t, r_R, st.g_t, st.g_R, st.f)
+    r_G = _eval_G_batch(probs, st, r_t, r_R)
     # Nodes with restart & refined get TNT refinement + its objective value;
     # restart & ~refined keep the evaluated proximal value (the fallback).
-    rt_t, rt_R, Gk_restart = _masked_tnt(
+    rt_t, rt_R, _ = _masked_tnt(
         probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined, opts.tnt,
         r_G)
+    # Re-evaluate in the stable relative form (TNT's internal objective is
+    # the absolute dense form, fine for its own accept/reject ratios but too
+    # coarse in f32 to feed the restart comparisons).
+    Gk_restart = _eval_G_batch(probs, st, rt_t, rt_R)
 
     Xak_t = jnp.where(restart[:, None, None], rt_t, Xak_t)
     Xak_R = jnp.where(restart[:, None, None, None], rt_R, Xak_R)
@@ -433,10 +440,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         probs, Xakh_R, g_sel_t)
     Xak_t = jnp.where(use_h[:, None, None], phi_t, Xak_t)
     Xak_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xak_R)
-    Gk = jnp.where(
-        use_h,
-        _eval_G_batch(probs, Xak_t, Xak_R, st.g_t, st.g_R, st.f),
-        Gk)
+    Gk = jnp.where(use_h, _eval_G_batch(probs, st, Xak_t, Xak_R), Gk)
 
     # Stamp: Z_prev <- Z, Z.own <- Xak (halo refreshed by communicate()).
     Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)
@@ -455,10 +459,10 @@ def iterate_mm(probs: NodeProblem, st: MMState, opts: MMOptions,
         probs, st.Z, st.Df_t, st.Df_R)
     t_c = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
         probs, th_R, st.g_t)
-    G0 = _eval_G_batch(probs, t_c, th_R, st.g_t, st.g_R, st.f)
-    Xak_t, Xak_R, Gk = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
-                                   refined, opts.tnt, G0)
-    Gk = jnp.where(refined, Gk, G0)
+    G0 = _eval_G_batch(probs, st, t_c, th_R)
+    Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
+                                  refined, opts.tnt, G0)
+    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R)
 
     Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)
     return st._replace(Z=Z_new, Z_prev=st.Z, Gk=Gk)

@@ -141,7 +141,7 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     # amm_pgo_n: proximal candidate Xkh + refined candidate Xkp.
     Xh_t, Xh_R = prox(probs, Y, Df_t_ex, Df_R_ex)
     tp = recov(probs, Xh_R, g_t_ex)
-    G0 = _eval_G_batch(probs, tp, Xh_R, st.g_t, st.g_R, st.f)
+    G0 = _eval_G_batch(probs, st, tp, Xh_R)
     Xp_t, Xp_R, _ = _masked_tnt(probs, tp, Xh_R, g_t_ex, g_R_ex, st.f,
                                 refined, opts.tnt, G0)
 
@@ -167,7 +167,7 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     def mm_fallback(args):
         Xp_t, Xp_R, fobj, s_next = args
         t2 = recov(probs, Xh_R, st.g_t)
-        G2 = _eval_G_batch(probs, t2, Xh_R, st.g_t, st.g_R, st.f)
+        G2 = _eval_G_batch(probs, st, t2, Xh_R)
         t3, R3, _ = _masked_tnt(probs, t2, Xh_R, st.g_t, st.g_R, st.f,
                                 refined, opts.tnt, G2)
         return (t3, R3, global_f_fn(t3, R3),

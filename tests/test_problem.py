@@ -318,3 +318,39 @@ def test_dense_operators_match_edgewise(rng):
         h_dense = p.from_tall(p.hessian_vp_tall(Q, nabla_d, p.to_tall(V)))
         np.testing.assert_allclose(np.asarray(h_dense), np.asarray(h_edge),
                                    atol=1e-8)
+
+
+def test_evaluate_G_relative_form(rng):
+    """The relative surrogate evaluation (a) touches fobj exactly at X = Z
+    (tangency by construction) and (b) has the same value DIFFERENCES as the
+    absolute form 1/2<GX,X> + <g,X> + f — the two anchor G to different
+    per-node constants (telescoped vs direct objective), but every solver
+    decision consumes only differences against fobj-derived sequences."""
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions, _eval_G_batch
+    meas, _, _ = random_pose_graph(rng, num_poses=40, d=3)
+    s = DPGOSolver(meas, num_nodes=3, opts=MMOptions(accelerated=True))
+    st = s.initialize()
+    # Tangency: G_rel(Z|Z) == fobj bit-exactly up to the O(delta)=0 terms.
+    G_at_Z = _eval_G_batch(s.probs, st, st.Z.t, st.Z.R)
+    np.testing.assert_allclose(np.asarray(G_at_Z), np.asarray(st.fobj),
+                               rtol=1e-13)
+    # Difference equality vs the absolute form, at two candidates.
+    def absG(t, R):
+        return jax.vmap(
+            lambda p, a, b, c, d_, e: p.evaluate_G(a, b, (c, d_), e))(
+            s.probs, t, R, st.g_t, st.g_R, st.f)
+
+    # Perturb REAL poses only: padded slots are decoupled from all edges but
+    # carry different (equally irrelevant) diagonal regularizers in the
+    # dense (+1) vs edge-wise (xi) forms.
+    pm_t = np.asarray(s.probs.pose_mask)[:, :, None]
+    pm_R = pm_t[..., None]
+    xt = st.Z.t + 0.01 * pm_t * jnp.asarray(rng.normal(size=st.Z.t.shape))
+    xR = st.Z.R + 0.01 * pm_R * jnp.asarray(rng.normal(size=st.Z.R.shape))
+    yt = st.Z.t + 0.01 * pm_t * jnp.asarray(rng.normal(size=st.Z.t.shape))
+    yR = st.Z.R + 0.01 * pm_R * jnp.asarray(rng.normal(size=st.Z.R.shape))
+    d_rel = np.asarray(_eval_G_batch(s.probs, st, xt, xR)
+                       - _eval_G_batch(s.probs, st, yt, yR))
+    d_abs = np.asarray(absG(xt, xR) - absG(yt, yR))
+    np.testing.assert_allclose(d_rel, d_abs, rtol=1e-7, atol=1e-10)
