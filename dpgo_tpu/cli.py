@@ -50,6 +50,13 @@ def main(argv=None):
     ap.add_argument("--checkpoint", default=None)
     ap.add_argument("--checkpoint_every", type=int, default=100)
     ap.add_argument("--record_every", type=int, default=1)
+    ap.add_argument("--save_npz", default=None,
+                    help="save the final estimate (t, R) to this .npz")
+    ap.add_argument("--init_from", default=None,
+                    help="warm-start from a saved .npz estimate instead of "
+                         "chordal init (hybrid-precision recipe: bulk "
+                         "iterations on TPU f32, then a CPU f64 run with "
+                         "--init_from to polish past the f32 floor)")
     args = ap.parse_args(argv)
 
     import jax
@@ -83,7 +90,11 @@ def main(argv=None):
     solver = cls(meas, num_nodes=args.num_nodes, opts=opts, loss=loss,
                  loss_reg=args.loss_reg, dtype=dtype)
 
-    st = solver.initialize(dist_init=args.dist_init)
+    if args.init_from:
+        warm = np.load(args.init_from)
+        st = solver.initialize(t=warm["t"], R=warm["R"])
+    else:
+        st = solver.initialize(dist_init=args.dist_init)
     start_iter = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         from dpgo_tpu.checkpoint import load_state
@@ -125,6 +136,10 @@ def main(argv=None):
     print(f"time: {elapsed / args.num_nodes} s/node.")
 
     t_glob, R_glob = map(np.asarray, solver.gather_global(st))
+
+    if args.save_npz:
+        np.savez(args.save_npz, t=t_glob, R=R_glob)
+        print(f"saved estimate to {args.save_npz}")
 
     if args.certify:
         from dpgo_tpu.sesync.staircase import certify_solution

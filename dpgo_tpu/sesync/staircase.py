@@ -53,23 +53,47 @@ class SESyncResult:
     rank: int
 
 
-def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200):
-    """Smallest eigenpair(s) of a symmetric operator via basic LOBPCG (B=I,
-    no constraints; Optimization/LinearAlgebra/LOBPCG.h algorithm)."""
+def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
+                   resid_tol=None, max_iters=20000, deflate=None):
+    """Smallest eigenpair of a symmetric operator via basic LOBPCG (B=I,
+    no constraints; Optimization/LinearAlgebra/LOBPCG.h algorithm).
+
+    Returns (theta, v, resid) where resid = |S v - theta v|. The Ritz value
+    converges to lambda_min FROM ABOVE, so an unconverged run can report a
+    positive theta for an indefinite S — callers MUST treat
+    (theta - resid) as the defensible estimate (observed: a suboptimal
+    city10000 estimate "certifying" with theta = +3e-4 at 300 iterations).
+
+    With resid_tol set, iterates in chunks of `iters` until the eigen-
+    residual satisfies resid <= max(resid_tol, 0.5 * max(theta, 0)) —
+    i.e. until the sign question "is lambda_min >= -2*resid_tol?" can be
+    answered from (theta, resid) — or max_iters is exhausted.
+
+    With `deflate` ([nd, k]), iterates are kept orthogonal to span(deflate):
+    returns the smallest eigenpair of S RESTRICTED to that complement. Used
+    by certification to remove the solution's known near-null space, where
+    the unrestricted spectrum clusters at 0 and LOBPCG stalls."""
 
     def ortho(X):
         Q, _ = jnp.linalg.qr(X)
         return Q
 
-    X = ortho(jax.random.normal(key, (nd, block), dtype))
+    if deflate is not None:
+        D = ortho(jnp.asarray(deflate, dtype))
+        proj = lambda X: X - D @ (D.T @ X)
+    else:
+        proj = lambda X: X
+
+    X = ortho(proj(jax.random.normal(key, (nd, block), dtype)))
     P = jnp.zeros_like(X)
 
     def body(k, carry):
         X, P = carry
         SX = apply_S(X)
         theta = jnp.einsum("ik,ik->k", X, SX)
-        Rres = SX - X * theta[None, :]
-        # Subspace [X, R, P] Rayleigh-Ritz.
+        Rres = proj(SX - X * theta[None, :])
+        # Subspace [X, R, P] Rayleigh-Ritz (all columns stay in the
+        # deflated complement: X, P are by construction, Rres by proj).
         V = jnp.concatenate([X, Rres, P], axis=1)
         Q, _ = jnp.linalg.qr(V)
         SQ = apply_S(Q)
@@ -80,11 +104,61 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200):
         Pn = Xn - X @ (X.T @ Xn)
         return Xn, Pn
 
-    X, P = jax.lax.fori_loop(0, iters, body, (X, P))
-    SX = apply_S(X)
-    theta = jnp.einsum("ik,ik->k", X, SX)
-    order = jnp.argsort(theta)
-    return theta[order[0]], X[:, order[0]]
+    run_chunk = jax.jit(lambda X, P: jax.lax.fori_loop(0, iters, body,
+                                                       (X, P)))
+
+    def best_pair(X):
+        SX = apply_S(X)
+        theta = jnp.einsum("ik,ik->k", X, SX)
+        order = jnp.argsort(theta)
+        v = X[:, order[0]]
+        th = theta[order[0]]
+        resid = jnp.linalg.norm(SX[:, order[0]] - th * v)
+        return th, v, resid
+
+    done = 0
+    while True:
+        X, P = run_chunk(X, P)
+        X, P = proj(X), proj(P)  # counter numerical drift out of D^perp
+        done += iters
+        th, v, resid = best_pair(X)
+        if resid_tol is None:
+            return th, v, resid
+        thf, rf = float(th), float(resid)
+        # Stop once the SIGN question is resolved: theta is always an upper
+        # bound on the (restricted) lambda_min, so a clearly negative theta
+        # is already a sound negative verdict; a positive theta certifies
+        # once the residual is safely below it.
+        if rf <= max(resid_tol, 0.5 * abs(thf)) or done >= max_iters:
+            return th, v, resid
+
+
+def certificate_lambda_bound(apply_S, Y, key, dtype, tol, iters=200):
+    """Defensible lower bound on lambda_min(S) at a (near-)stationary Y.
+
+    At stationarity S Y = 0 exactly, so span(Y) is S's near-null space and
+    the unrestricted spectrum clusters at 0 (where plain LOBPCG stalls and
+    its from-above Ritz value can falsely certify). Split the space:
+
+        eps   = |S Yhat|_F           (Yhat = orthonormalized Y; exact matvec)
+        lamc  = lambda_min(S | span(Y)^perp)   (deflated LOBPCG, residual-
+                backed: lamc_cons = theta - resid)
+        lambda_min(S) >= ((lamc - eps) - sqrt((lamc + eps)^2 + 4 eps^2)) / 2
+
+    (the min eigenvalue of the 2x2 interaction bound [[-eps, -eps],
+    [-eps, lamc]]). For a true optimum eps ~ 0 and the bound is ~ -eps;
+    for a suboptimal candidate eps is the stationarity defect and honestly
+    blocks certification. Returns (lam_lb, escape_vec, lamc_cons, eps)."""
+    Yd = jnp.asarray(Y, dtype)
+    Q, _ = jnp.linalg.qr(Yd)
+    eps = float(jnp.linalg.norm(apply_S(Q)))
+    lamc, vec, resid = min_eig_lobpcg(
+        apply_S, Y.shape[0], key, dtype, iters=iters, resid_tol=tol,
+        deflate=Yd)
+    lamc_c = float(lamc) - float(resid)
+    lam_lb = 0.5 * ((lamc_c - eps)
+                    - float(np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
+    return lam_lb, vec, lamc_c, eps
 
 
 def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
@@ -142,10 +216,9 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
         Lam = prob.Lambda_blocks(Y)
         apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
         key, sub = jax.random.split(key)
-        lam_min, vec = min_eig_lobpcg(
-            lambda V: apply_S(V), n * d, sub, dtype,
-            block=opts.lobpcg_block, iters=opts.lobpcg_iters)
-        lam_min = float(lam_min)
+        lam_min, vec, lamc, eps = certificate_lambda_bound(
+            apply_S, Y, sub, dtype, opts.min_eig_tol,
+            iters=opts.lobpcg_iters)
         if lam_min >= -opts.min_eig_tol:
             status = "GlobalOpt"
             break
@@ -200,9 +273,9 @@ def certify_solution(meas: Measurements, R: np.ndarray,
     Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(n * d, d), dtype)
     Lam = prob.Lambda_blocks(Y)
     apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
-    lam_min, _ = min_eig_lobpcg(apply_S, n * d, jax.random.PRNGKey(1),
-                                dtype, iters=lobpcg_iters)
-    lam_min = float(lam_min)
+    lam_min, _, lamc, eps = certificate_lambda_bound(
+        apply_S, Y, jax.random.PRNGKey(1), dtype, min_eig_tol,
+        iters=lobpcg_iters)
     fxhat = float(prob.objective(Y))
     # f* >= tr(Lambda)/2 + (nd/2) min(0, lam_min); for a stationary
     # candidate tr(Lambda) = <Q y, y> and the slack term vanishes.

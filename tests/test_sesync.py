@@ -101,7 +101,11 @@ def test_certify_dpgo_output():
     # certification of the staircase solution itself
     ok, lam, bound, fx = certify_solution(meas, res.R)
     assert ok
-    assert bound < 1e-10
+    # The sound certificate charges the stationarity defect eps = |S Yhat|
+    # times nd/2 — a few 1e-4 in f units for a numerically-rounded optimum
+    # (the old fixed-iteration LOBPCG reported ~0 here but could also
+    # falsely certify suboptimal points; see certificate_lambda_bound).
+    assert bound < 1e-2
 
 
 def test_hessian_vp_symmetry_stiefel(rng):
@@ -126,7 +130,7 @@ def test_lobpcg_matches_dense_eig(rng):
     A = rng.normal(size=(n, n))
     S = 0.5 * (A + A.T)
     lam_ref = np.linalg.eigvalsh(S)[0]
-    lam, v = min_eig_lobpcg(lambda V: jnp.asarray(S) @ V, n,
+    lam, v, resid = min_eig_lobpcg(lambda V: jnp.asarray(S) @ V, n,
                             jax.random.PRNGKey(0), jnp.float64,
                             block=4, iters=150)
     np.testing.assert_allclose(float(lam), lam_ref, rtol=1e-6, atol=1e-8)
