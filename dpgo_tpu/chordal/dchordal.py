@@ -59,6 +59,16 @@ class DChordalConfig:
     stage0_tnt_iters: int = 20
 
 
+def chordal_objective(meas: Measurements, t, R) -> float:
+    """Objective monitor for the chordal pipeline (the reference's
+    DChordal evaluate_f, DChordal_utils.h:129-140 — logging only): the PGO
+    cost evaluated at the current (possibly non-SO(d)) iterate, which is
+    exactly the linear least-squares cost the chordal stages minimize."""
+    from dpgo_tpu.objective import EdgeData, evaluate_f
+    edges = EdgeData.from_measurements(meas, dtype=jnp.asarray(t).dtype)
+    return float(evaluate_f(edges, jnp.asarray(t), jnp.asarray(R)))
+
+
 def _intra_only_multigraph(mg: MultiGraph) -> MultiGraph:
     mg2 = dataclasses.replace(mg)
     mg2.e_kap = np.zeros_like(mg.e_kap)

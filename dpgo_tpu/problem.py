@@ -829,10 +829,9 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         mG00_full = np.zeros((N, 1, 1))
 
     if dense:
-        from dpgo_tpu.ops.eigen import power_iteration_max_dense
+        from dpgo_tpu.ops.eigen import lambda_max_lanczos
         for a in range(N):
-            lam_max[a] = power_iteration_max_dense(mG11_d[a], iters=30,
-                                                   seed=a)
+            lam_max[a] = lambda_max_lanczos(mG11_d[a], seed=a)
     reg = lam_max / precon_cond
     jac_reg = jac + reg[:, None, None, None] * np.eye(d)
     precon_inv = np.linalg.inv(jac_reg)

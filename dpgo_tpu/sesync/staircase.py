@@ -53,8 +53,44 @@ class SESyncResult:
     rank: int
 
 
+def chebyshev_precon(apply_S, lam_max, lam_min=None, degree=8):
+    """Chebyshev polynomial approximate inverse of the SPD-shifted
+    certificate operator — the TPU-native stand-in for the reference's
+    ILDL incomplete-LDL^T LOBPCG preconditioner (Preconditioners/ILDL,
+    SESync_utils.cpp:790-830): matrix-free, a fixed chain of `degree`
+    matvecs, no sparse triangular solves.
+
+    Returns V -> p(S) V with p ~ 1/x on [a, b], a = lam_min or lam_max/100,
+    b = lam_max (standard Chebyshev iteration for S Y = V run `degree`
+    steps from Y0 = 0). Any SPD map accelerates LOBPCG; clustering the
+    spectrum of T S around 1 is what kills the 1/sqrt(kappa) factor."""
+    b = float(lam_max)
+    a = float(lam_min) if lam_min else b / 100.0
+    theta = 0.5 * (b + a)
+    delta = 0.5 * (b - a)
+    sigma1 = theta / delta
+
+    def apply(V):
+        # Chebyshev iteration (Saad, Iterative Methods, alg. 12.1) for
+        # S Y = V, Y0 = 0, `degree` iterations; all ops are matvec/axpy.
+        rho = 1.0 / sigma1
+        Y = V / theta
+        R = V - apply_S(Y)
+        D = Y
+        for _ in range(degree - 1):
+            rho_new = 1.0 / (2.0 * sigma1 - rho)
+            D = rho_new * rho * D + (2.0 * rho_new / delta) * R
+            Y = Y + D
+            R = R - apply_S(D)
+            rho = rho_new
+        return Y
+
+    return apply
+
+
 def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
-                   resid_tol=None, max_iters=20000, deflate=None):
+                   resid_tol=None, max_iters=20000, deflate=None,
+                   precon=None):
     """Smallest eigenpair of a symmetric operator via basic LOBPCG (B=I,
     no constraints; Optimization/LinearAlgebra/LOBPCG.h algorithm).
 
@@ -72,7 +108,11 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
     With `deflate` ([nd, k]), iterates are kept orthogonal to span(deflate):
     returns the smallest eigenpair of S RESTRICTED to that complement. Used
     by certification to remove the solution's known near-null space, where
-    the unrestricted spectrum clusters at 0 and LOBPCG stalls."""
+    the unrestricted spectrum clusters at 0 and LOBPCG stalls.
+
+    `precon` (optional, V -> T V with T SPD ~ S^{-1}) is applied to the
+    residual block each iteration — the reference's ILDL-preconditioned
+    LOBPCG (SESync_utils.cpp:790-830); see `chebyshev_precon`."""
 
     def ortho(X):
         Q, _ = jnp.linalg.qr(X)
@@ -91,7 +131,10 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
         X, P = carry
         SX = apply_S(X)
         theta = jnp.einsum("ik,ik->k", X, SX)
-        Rres = proj(SX - X * theta[None, :])
+        Rres = SX - X * theta[None, :]
+        if precon is not None:
+            Rres = precon(Rres)
+        Rres = proj(Rres)
         # Subspace [X, R, P] Rayleigh-Ritz (all columns stay in the
         # deflated complement: X, P are by construction, Rres by proj).
         V = jnp.concatenate([X, Rres, P], axis=1)
@@ -133,7 +176,8 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
             return th, v, resid
 
 
-def certificate_lambda_bound(apply_S, Y, key, dtype, tol, iters=200):
+def certificate_lambda_bound(apply_S, Y, key, dtype, tol, iters=200,
+                             precon=None):
     """Defensible lower bound on lambda_min(S) at a (near-)stationary Y.
 
     At stationarity S Y = 0 exactly, so span(Y) is S's near-null space and
@@ -154,7 +198,7 @@ def certificate_lambda_bound(apply_S, Y, key, dtype, tol, iters=200):
     eps = float(jnp.linalg.norm(apply_S(Q)))
     lamc, vec, resid = min_eig_lobpcg(
         apply_S, Y.shape[0], key, dtype, iters=iters, resid_tol=tol,
-        deflate=Yd)
+        deflate=Yd, precon=precon)
     lamc_c = float(lamc) - float(resid)
     lam_lb = 0.5 * ((lamc_c - eps)
                     - float(np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
@@ -263,19 +307,30 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
 
 def certify_solution(meas: Measurements, R: np.ndarray,
                      min_eig_tol: float = 1e-5, dtype=jnp.float64,
-                     lobpcg_iters: int = 300):
+                     lobpcg_iters: int = 300, precon: str | None = None):
     """Certify a candidate SO(d)^n solution of the PGO problem (the SE-Sync
     machinery applied to a DPGO output; reference fast_verification).
 
-    Returns (certified, lambda_min, suboptimality_bound, fxhat)."""
+    precon="chebyshev" applies the polynomial approximate-inverse
+    preconditioner to LOBPCG (the reference's ILDL role — recommended for
+    large graphs where the unpreconditioned solver needs thousands of
+    iterations). Returns (certified, lambda_min, suboptimality_bound,
+    fxhat)."""
     prob = build_sesync_problem(meas, dtype=dtype)
     n, d = prob.n, prob.d
     Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(n * d, d), dtype)
     Lam = prob.Lambda_blocks(Y)
     apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
+    pre = None
+    if precon == "chebyshev":
+        from dpgo_tpu.ops.eigen import lanczos_extreme
+        lam_max, _ = lanczos_extreme(
+            lambda v: np.asarray(apply_S(jnp.asarray(v[:, None], dtype)))
+            .ravel(), n * d, which="max", tol=1e-3, seed=3)
+        pre = chebyshev_precon(apply_S, 1.05 * lam_max)
     lam_min, _, lamc, eps = certificate_lambda_bound(
         apply_S, Y, jax.random.PRNGKey(1), dtype, min_eig_tol,
-        iters=lobpcg_iters)
+        iters=lobpcg_iters, precon=pre)
     fxhat = float(prob.objective(Y))
     # f* >= tr(Lambda)/2 + (nd/2) min(0, lam_min); for a stationary
     # candidate tr(Lambda) = <Q y, y> and the slack term vanishes.

@@ -134,3 +134,49 @@ def test_lobpcg_matches_dense_eig(rng):
                             jax.random.PRNGKey(0), jnp.float64,
                             block=4, iters=150)
     np.testing.assert_allclose(float(lam), lam_ref, rtol=1e-6, atol=1e-8)
+
+
+def test_lanczos_extreme_matches_dense(rng):
+    """Lanczos (the Spectra SymEigsSolver role) matches numpy eigh."""
+    from dpgo_tpu.ops.eigen import lanczos_extreme, lambda_max_lanczos
+    n = 80
+    A = rng.normal(size=(n, n))
+    S = 0.5 * (A + A.T)
+    w = np.linalg.eigvalsh(S)
+    lam, v = lanczos_extreme(lambda x: S @ x, n, which="max", tol=1e-10)
+    np.testing.assert_allclose(lam, w[-1], rtol=1e-8)
+    lam, v = lanczos_extreme(lambda x: S @ x, n, which="min", tol=1e-10)
+    np.testing.assert_allclose(lam, w[0], rtol=1e-8)
+    np.testing.assert_allclose(lambda_max_lanczos(S),
+                               max(abs(w[0]), abs(w[-1])), rtol=1e-6)
+
+
+def test_lobpcg_chebyshev_precon(rng):
+    """Preconditioned LOBPCG (the ILDL role) reaches the min eigenvalue of
+    an ill-conditioned PSD operator in far fewer iterations."""
+    from dpgo_tpu.sesync.staircase import chebyshev_precon, min_eig_lobpcg
+    n = 120
+    Q, _ = np.linalg.qr(rng.normal(size=(n, n)))
+    # Certificate-like spectrum: an isolated small eigenvalue below a wide
+    # well-separated band (kappa = 1e6).
+    w = np.concatenate([[1e-3], np.geomspace(1.0, 1e3, n - 1)])
+    S = (Q * w[None, :]) @ Q.T
+    Sj = jnp.asarray(S)
+    apply_S = lambda V: Sj @ V
+    pre = chebyshev_precon(apply_S, lam_max=1.05e3, degree=10)
+    lam_p, _, resid_p = min_eig_lobpcg(apply_S, n, jax.random.PRNGKey(0),
+                                       jnp.float64, block=4, iters=20)
+    lam_c, _, resid_c = min_eig_lobpcg(apply_S, n, jax.random.PRNGKey(0),
+                                       jnp.float64, block=4, iters=20,
+                                       precon=pre)
+    # Same budget: the preconditioned run must be far more converged.
+    assert float(resid_c) < 0.1 * float(resid_p)
+    np.testing.assert_allclose(float(lam_c), w.min(), rtol=1e-3)
+
+
+def test_certify_with_chebyshev_precon():
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    res = sesync(meas)
+    ok, lam, bound, fx = certify_solution(meas, res.R, precon="chebyshev")
+    assert ok
+    assert bound < 1e-2

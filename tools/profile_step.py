@@ -1,43 +1,69 @@
-"""Per-component TPU timing of the solver step (maintained profiling tool).
+"""Differential TPU timing of the solver step (maintained profiling tool).
+
+The axon tunnel memoizes executions on identical input buffers and
+block_until_ready can return early, so every timing here (a) runs a scan of
+K iterations in ONE dispatch, (b) starts from a fresh initialize(), and
+(c) syncs via device_get. Component costs are obtained differentially by
+ablating options (TNT off, history on/off, ...).
 
 Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/profile_step.py
 """
 
-import sys, os
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dpgo_jax_cache")
-import jax, time
+
+import jax
+
 jax.config.update("jax_compilation_cache_dir", "/tmp/dpgo_jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-import jax.numpy as jnp, numpy as np
-from dpgo_tpu.io.g2o import read_g2o_file
+import jax.numpy as jnp
+import numpy as np
+
 from dpgo_tpu.driver import DPGOSolver
-from dpgo_tpu.solvers.mm import MMOptions, _tnt_batch
-from dpgo_tpu.solvers import mm as mm_mod
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.solvers.mm import MMOptions
+from dpgo_tpu.solvers.tnt import TNTParams
 
-meas = read_g2o_file("/root/reference/dataset/sphere2500.g2o")
-solver = DPGOSolver(meas, num_nodes=8, opts=MMOptions(accelerated=True), dtype=jnp.float32)
-st = solver.initialize()
-probs = solver.probs
+DATASET = os.environ.get("PROFILE_DATASET",
+                         "/root/reference/dataset/sphere2500.g2o")
+NODES = int(os.environ.get("PROFILE_NODES", "8"))
+K = int(os.environ.get("PROFILE_ITERS", "150"))
 
-def timeit(name, fn, *args, n=10):
-    out = fn(*args); jax.block_until_ready(out)
-    t0=time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    print(f"{name}: {(time.perf_counter()-t0)/n*1000:.1f} ms", flush=True)
-    return out
+meas = read_g2o_file(DATASET)
 
-step = jax.jit(solver._step_impl)
-timeit("full step", step, probs, st, jnp.asarray(1, jnp.int32), n=10)
-tb = jax.jit(lambda st: _tnt_batch(probs, st.Z.t, st.Z.R, st.g_t, st.g_R, st.f, solver.opts.tnt))
-timeit("tnt batch (dense)", tb, st, n=10)
-# measure sustained: 50 steps
-t0=time.perf_counter()
-s2 = st
-for k in range(50):
-    s2 = step(s2, jnp.asarray(k+1, jnp.int32))
-jax.block_until_ready(s2.fobj)
-print("sustained: %.1f it/s" % (50/(time.perf_counter()-t0)), flush=True)
+
+def time_solver(name, opts, history=False):
+    solver = DPGOSolver(meas, num_nodes=NODES, opts=opts, dtype=jnp.float32)
+    st = solver.initialize()
+    k0 = jnp.zeros((), jnp.int32)
+    run = solver.run_steps_history if history else solver.run_steps
+    out = run(st, k0, K)           # compile + warm
+    np.asarray(out[0].fobj)
+    st = solver.initialize()       # fresh buffers (tunnel memoization!)
+    t0 = time.perf_counter()
+    out = run(st, k0, K)
+    np.asarray(out[0].fobj)
+    dt = time.perf_counter() - t0
+    f, g = solver._metrics(out[0])
+    print(f"{name}: {dt / K * 1000:.2f} ms/it ({K / dt:.1f} it/s)  "
+          f"2f={float(f):.4f}", flush=True)
+    return dt / K
+
+
+full = time_solver("full step (scan)", MMOptions(accelerated=True))
+hist = time_solver("full step + history", MMOptions(accelerated=True),
+                   history=True)
+no_tnt = time_solver(
+    "step, TNT off",
+    MMOptions(accelerated=True, tnt=TNTParams(max_iterations=0)))
+mm_only = time_solver("plain MM step", MMOptions(accelerated=False))
+cg50 = time_solver(
+    "step, max_tCG=50",
+    MMOptions(accelerated=True, tnt=TNTParams(max_tCG_iterations=50)))
+
+print(f"\nTNT share        : {1000 * (full - no_tnt):.2f} ms/it")
+print(f"history overhead : {1000 * (hist - full):.2f} ms/it")
