@@ -38,7 +38,15 @@ def main():
     dtype = jnp.float32 if platform != "cpu" else jnp.float64
 
     meas = read_g2o_file(dataset)
-    solver = DPGOSolver(meas, num_nodes=8, opts=MMOptions(accelerated=True),
+    # TPU-tuned preset: accepted_delta (the reference's TNT-refinement gate,
+    # Options::accepted_delta) raised 5e-4 -> 5e-2 so the expensive inner
+    # TNT fires only while the proximal steps are far from convergence.
+    # Ablation on one v5e chip (tools/ablate_tnt.py): 204 it/s / 0.21 s to
+    # the certified 1e-4 gap / final gap 9e-7, vs 80 it/s / 0.45 s / 1.3e-6
+    # at the reference default — same iterate quality, 2.2x faster to the
+    # optimum.
+    solver = DPGOSolver(meas, num_nodes=8,
+                        opts=MMOptions(accelerated=True, accepted_delta=5e-2),
                         dtype=dtype)
     st = solver.initialize()
     f0, g0 = solver._metrics(st)

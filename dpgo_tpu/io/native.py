@@ -51,12 +51,33 @@ def _load():
     lib.dpgo_copy.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 6
     lib.dpgo_free.restype = None
     lib.dpgo_free.argtypes = [ctypes.c_void_p]
+    lib.dpgo_max_clique.restype = ctypes.c_int64
+    lib.dpgo_max_clique.argtypes = [ctypes.c_void_p, ctypes.c_int64,
+                                    ctypes.c_int, ctypes.c_void_p]
     _lib = lib
     return _lib
 
 
 def native_available() -> bool:
     return _load() is not None
+
+
+def max_clique_native(adj: np.ndarray, exact: bool = True
+                      ) -> np.ndarray | None:
+    """Maximum clique of a boolean adjacency matrix via the native solver
+    (the reference's fmc library, C++/PCM/fmc). Returns the membership mask,
+    or None when the native library is unavailable (callers fall back to the
+    Python implementation in dpgo_tpu/pcm.py)."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = adj.shape[0]
+    a = np.ascontiguousarray(adj, dtype=np.uint8)
+    out = np.zeros(n, np.uint8)
+    lib.dpgo_max_clique(a.ctypes.data_as(ctypes.c_void_p), n,
+                        1 if exact else 0,
+                        out.ctypes.data_as(ctypes.c_void_p))
+    return out.astype(bool)
 
 
 def read_g2o_file_native(filename: str) -> Measurements:

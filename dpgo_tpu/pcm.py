@@ -34,6 +34,11 @@ class PCMOptions:
     weighted: bool = False
     exact: bool = True
     exact_limit: int = 64  # fall back to the heuristic above this size
+    # Use the native C++ branch-and-bound (native/max_clique.cpp — the
+    # reference's vendored fmc library role) when available; the pure-Python
+    # bitset solver below is the fallback. With the native solver the exact
+    # path stays fast well past exact_limit.
+    native: bool = True
 
 
 def pairwise_consistency(meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj,
@@ -184,10 +189,14 @@ def pcm_filter(meas: Measurements, num_nodes: int, t: np.ndarray,
         adj = pairwise_consistency(
             Rm, tm, jnp.asarray(meas.kappa[es]), jnp.asarray(meas.tau[es]),
             t[gi], R[gi], t[gj], R[gj], opts.tolerance, opts.weighted)
-        if opts.exact and len(es) <= opts.exact_limit:
-            mask = max_clique_exact(adj)
-        else:
-            mask = max_clique_heuristic(adj)
+        exact = opts.exact and (len(es) <= opts.exact_limit or opts.native)
+        mask = None
+        if opts.native:
+            from dpgo_tpu.io.native import max_clique_native
+            mask = max_clique_native(adj, exact=exact)
+        if mask is None:
+            mask = max_clique_exact(adj) if exact \
+                else max_clique_heuristic(adj)
         keep[es[~mask]] = False
 
     return meas.select(keep), keep

@@ -315,7 +315,14 @@ def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams):
 def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
                 fallback_G):
     """Run batched TNT only if any node needs it; select per node by mask.
-    Returns (t, R, G value at result)."""
+    Returns (t, R, G value at result).
+
+    When TNT is statically disabled (max_iterations == 0) the TNT graph is
+    not even traced — `lax.cond` would compile both branches, and the two
+    inlined TNT instances dominate the step's compile time through the
+    remote-compile tunnel."""
+    if params.max_iterations <= 0 or params.max_iterations_accepted <= 0:
+        return t0, R0, fallback_G
 
     def run(_):
         tn, Rn, fx = _tnt_batch(probs, t0, R0, g_t, g_R, f, params)

@@ -69,3 +69,23 @@ def test_pcm_rejects_outlier_edges(rng):
     # intra edges untouched
     intra = np.nonzero(part.node_of[meas.i] == part.node_of[meas.j])[0]
     assert keep[intra].all()
+
+
+def test_native_max_clique_parity(rng):
+    """Native C++ branch-and-bound (the fmc role) matches the Python exact
+    solver's clique size and returns a genuine clique."""
+    from dpgo_tpu.io.native import max_clique_native, native_available
+    from dpgo_tpu.pcm import max_clique_exact
+    if not native_available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+    for _ in range(60):
+        n = int(rng.integers(2, 24))
+        A = rng.random((n, n)) < rng.uniform(0.2, 0.8)
+        A = np.triu(A, 1)
+        A = A | A.T
+        m_py = max_clique_exact(A)
+        m_na = max_clique_native(A, exact=True)
+        assert m_na.sum() == m_py.sum()
+        idx = np.nonzero(m_na)[0]
+        assert all(A[a, b] for a in idx for b in idx if a != b)
