@@ -398,60 +398,79 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
                                   refined, opts.tnt, Gkh)
     Gk = _eval_G_batch(probs, st, Xak_t, Xak_R)
 
-    # Retry the un-extrapolated proximal if Gkh insufficient
-    # (DPGOHash.cpp:386-389).
+    # Exceptional-path cascade (DPGOHash.cpp:386-441): the proximal retry,
+    # the adaptive hard/soft restarts, and the phi-test fallback. All three
+    # fire rarely in steady state, but computing their candidates
+    # unconditionally costs ~half the fast-path work (an extra proximal,
+    # two translation solves, three surrogate evaluations, one TNT), so the
+    # whole cascade runs under ONE scalar lax.cond. Semantics are identical:
+    # the fast branch is the slow branch specialized to
+    # need_retry = restart = use_h = False (under which Xakh = (th_t, th_R),
+    # g_sel = g_t_ex, phi_t = t_c, and every where() collapses).
     need_retry = Gkh > minG
-    tp_t, tp_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
-        probs, st.Z, st.Df_t, st.Df_R)
-    Gkp = _eval_G_batch(probs, st, tp_t, tp_R)
-    Xakh_t = jnp.where(need_retry[:, None, None], tp_t, th_t)
-    Xakh_R = jnp.where(need_retry[:, None, None, None], tp_R, th_R)
-    Gkh = jnp.where(need_retry, Gkp, Gkh)
-
-    # Adaptive restart cascade (DPGOHash.cpp:391-432).
     hard = Gk > st.Fk0
     soft = ((Gk > st.Fk1) & (st.hits0 >= opts.max_soft_restart_hits0)) | \
            ((Gk > st.fobj) & (st.hits1 > opts.max_soft_restart_hits1))
     restart = hard | soft
+    use_h0 = (st.Fk0 - Gk) < opts.phi * (st.Fk0 - Gkh)
+    exceptional = jnp.any(need_retry | restart | use_h0)
 
-    # Restart candidate: Xakh if good enough, else un-extrapolated proximal;
-    # translations from g (non-extrapolated).
-    good = Gkh <= st.fobj
-    r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
-    r_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
-        probs, r_R, st.g_t)
-    r_G = _eval_G_batch(probs, st, r_t, r_R)
-    # Nodes with restart & refined get TNT refinement + its objective value;
-    # restart & ~refined keep the evaluated proximal value (the fallback).
-    rt_t, rt_R, _ = _masked_tnt(
-        probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined, opts.tnt,
-        r_G)
-    # Re-evaluate in the stable relative form (TNT's internal objective is
-    # the absolute dense form, fine for its own accept/reject ratios but too
-    # coarse in f32 to feed the restart comparisons).
-    Gk_restart = _eval_G_batch(probs, st, rt_t, rt_R)
+    def slow_path(_):
+        # Retry the un-extrapolated proximal if Gkh insufficient
+        # (DPGOHash.cpp:386-389).
+        tp_t, tp_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
+            probs, st.Z, st.Df_t, st.Df_R)
+        Gkp = _eval_G_batch(probs, st, tp_t, tp_R)
+        Xakh_t = jnp.where(need_retry[:, None, None], tp_t, th_t)
+        Xakh_R = jnp.where(need_retry[:, None, None, None], tp_R, th_R)
+        Gkh2 = jnp.where(need_retry, Gkp, Gkh)
 
-    Xak_t = jnp.where(restart[:, None, None], rt_t, Xak_t)
-    Xak_R = jnp.where(restart[:, None, None, None], rt_R, Xak_R)
-    Gk = jnp.where(restart, Gk_restart, Gk)
+        # Restart candidate: Xakh if good enough, else un-extrapolated
+        # proximal; translations from g (non-extrapolated).
+        good = Gkh2 <= st.fobj
+        r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
+        r_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
+            probs, r_R, st.g_t)
+        r_G = _eval_G_batch(probs, st, r_t, r_R)
+        # Nodes with restart & refined get TNT refinement + its objective
+        # value; restart & ~refined keep the evaluated proximal value.
+        rt_t, rt_R, _ = _masked_tnt(
+            probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined,
+            opts.tnt, r_G)
+        # Re-evaluate in the stable relative form (TNT's internal objective
+        # is the absolute dense form, fine for its own accept/reject ratios
+        # but too coarse in f32 to feed the restart comparisons).
+        Gk_restart = _eval_G_batch(probs, st, rt_t, rt_R)
+
+        Xk_t = jnp.where(restart[:, None, None], rt_t, Xak_t)
+        Xk_R = jnp.where(restart[:, None, None, None], rt_R, Xak_R)
+        Gk2 = jnp.where(restart, Gk_restart, Gk)
+
+        # phi-test: fall back to the proximal iterate Xakh if the refined
+        # step made insufficient progress relative to it
+        # (DPGOHash.cpp:434-441).
+        use_h = (st.Fk0 - Gk2) < opts.phi * (st.Fk0 - Gkh2)
+        g_sel_t = jnp.where(restart[:, None, None], st.g_t, g_t_ex)
+        phi_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
+            probs, Xakh_R, g_sel_t)
+        Xk_t = jnp.where(use_h[:, None, None], phi_t, Xk_t)
+        Xk_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xk_R)
+        Gk3 = jnp.where(use_h, _eval_G_batch(probs, st, Xk_t, Xk_R), Gk2)
+        return Xk_t, Xk_R, Gk3
+
+    def fast_path(_):
+        return Xak_t, Xak_R, Gk
+
+    Xak_t2, Xak_R2, Gk_f = lax.cond(exceptional, slow_path, fast_path,
+                                    operand=None)
 
     s_next = jnp.where(hard, jnp.maximum(0.5 * st.s_next, 1.0), st.s_next)
     hits0 = jnp.where(restart, st.hits0 // 3, st.hits0)
     hits1 = jnp.where(restart, 0, st.hits1)
 
-    # phi-test: fall back to the proximal iterate Xakh if the refined step
-    # made insufficient progress relative to it (DPGOHash.cpp:434-441).
-    use_h = (st.Fk0 - Gk) < opts.phi * (st.Fk0 - Gkh)
-    g_sel_t = jnp.where(restart[:, None, None], st.g_t, g_t_ex)
-    phi_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
-        probs, Xakh_R, g_sel_t)
-    Xak_t = jnp.where(use_h[:, None, None], phi_t, Xak_t)
-    Xak_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xak_R)
-    Gk = jnp.where(use_h, _eval_G_batch(probs, st, Xak_t, Xak_R), Gk)
-
     # Stamp: Z_prev <- Z, Z.own <- Xak (halo refreshed by communicate()).
-    Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)
-    return st._replace(Z=Z_new, Z_prev=st.Z, Gk=Gk,
+    Z_new = NodeState(t=Xak_t2, R=Xak_R2, th=st.Z.th, Rh=st.Z.Rh)
+    return st._replace(Z=Z_new, Z_prev=st.Z, Gk=Gk_f,
                        s_next=s_next, hits0=hits0, hits1=hits1)
 
 
