@@ -14,18 +14,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def save_state(path: str, state, step: int) -> None:
+def save_state(path: str, state, step: int, gauge_c=None) -> None:
+    """`gauge_c` (optional [N, d]) records the solver's local-gauge
+    centroids (driver._set_gauge) so a resumed process reuses the exact
+    frame the state was written in."""
     leaves, treedef = jax.tree.flatten(state)
     arrays = {f"leaf_{k}": np.asarray(v) for k, v in enumerate(leaves)}
     arrays["__step__"] = np.asarray(step)
+    if gauge_c is not None:
+        arrays["__gauge_c__"] = np.asarray(gauge_c)
     np.savez_compressed(path, **arrays)
 
 
-def load_state(path: str, template):
+def load_state(path: str, template, solver=None):
     """Restore into the structure of `template` (same solver configuration).
 
-    Returns (state, step)."""
+    With `solver` given, also restores the local-gauge frame recorded by
+    save_state into it. Returns (state, step)."""
     data = np.load(path)
+    if solver is not None and "__gauge_c__" in data:
+        solver.set_gauge(data["__gauge_c__"])
     leaves, treedef = jax.tree.flatten(template)
     n = len(leaves)
     restored = []

@@ -98,7 +98,7 @@ def main(argv=None):
     start_iter = 0
     if args.checkpoint and os.path.exists(args.checkpoint):
         from dpgo_tpu.checkpoint import load_state
-        st, start_iter = load_state(args.checkpoint, st)
+        st, start_iter = load_state(args.checkpoint, st, solver=solver)
         print(f"resumed from {args.checkpoint} at iteration {start_iter}")
 
     f, g = solver._metrics(st)
@@ -128,7 +128,7 @@ def main(argv=None):
             print(f"{k}: {float(f):.20g} {float(g):.20g}")
         if args.checkpoint and k % args.checkpoint_every == 0:
             from dpgo_tpu.checkpoint import save_state
-            save_state(args.checkpoint, st, k)
+            save_state(args.checkpoint, st, k, gauge_c=solver._c)
 
     print("---------------------------------------")
     print(f"final objective: {rows[-1][2]}")

@@ -26,9 +26,14 @@ from dpgo_tpu.solvers import star as star_mod
 from dpgo_tpu.solvers.mm import MMOptions, MMState, init_state
 
 
-def communicate(st: MMState, halo_owner, halo_lpose) -> MMState:
-    """Refresh every node's halo from the owners' current own state."""
+def communicate(st: MMState, halo_owner, halo_lpose, halo_dc=None) -> MMState:
+    """Refresh every node's halo from the owners' current own state.
+
+    `halo_dc` [N, n1_max, d] re-expresses the owner's locally-centered
+    translations in the reader's frame (local gauge centering, below)."""
     th = st.Z.t[halo_owner, halo_lpose]
+    if halo_dc is not None:
+        th = th + halo_dc
     Rh = st.Z.R[halo_owner, halo_lpose]
     Z = NodeState(t=st.Z.t, R=st.Z.R, th=th, Rh=Rh)
     return st._replace(Z=Z)
@@ -60,6 +65,17 @@ class DPGOSolver:
         self.halo_lpose = jnp.asarray(self.mg.halo_lpose)
         self.node_of = jnp.asarray(self.part.node_of)
         self.local_of = jnp.asarray(self.part.local_of)
+        # Local gauge centering: store each node's translations relative to
+        # its own block centroid (fixed at first initialize). Every cost and
+        # solver quantity is difference-based, so the math is unchanged
+        # (only the xi = 1e-11 tie-breaker sees the shift) while f32
+        # cancellation error in t_i - t_j drops from graph-diameter to
+        # block-diameter scale — the big-2-D-graph (city10000) f32 floor.
+        # None = auto: on for f32, off for f64 (which doesn't need it).
+        lg = getattr(self.opts, "local_gauge", None)
+        self.local_gauge = (dtype == jnp.float32) if lg is None else lg
+        self._c = None  # [N, d] block centroids, set at first initialize
+        self.halo_dc = None
         # Small problems EMBED the problem arrays as jit closure constants —
         # XLA folds/pre-lays-out them, worth ~18% step throughput on
         # sphere2500. Large problems pass them as jit ARGUMENTS instead:
@@ -107,10 +123,32 @@ class DPGOSolver:
 
     # ----------------------------------------------------------- init
 
+    def _set_gauge(self, t: np.ndarray) -> None:
+        """Fix the per-node gauge centroids from a global t (first call
+        only: the jitted step captures halo_dc at trace time, so the frame
+        must stay fixed for the solver's lifetime)."""
+        if not self.local_gauge or self._c is not None:
+            return
+        mg = self.mg
+        c = np.zeros((mg.num_nodes, mg.d))
+        for a in range(mg.num_nodes):
+            s, n0 = int(mg.start[a]), int(mg.n0[a])
+            c[a] = np.asarray(t[s:s + n0], np.float64).mean(axis=0)
+        self.set_gauge(c)
+
+    def set_gauge(self, c: np.ndarray) -> None:
+        """Install explicit gauge centroids (checkpoint resume path)."""
+        # Round to the working precision so host/device adds are exact.
+        c = np.asarray(c, np.dtype(self.dtype)).astype(np.float64)
+        self._c = c
+        self.halo_dc = jnp.asarray(
+            c[self.mg.halo_owner] - c[:, None, :], self.dtype)
+
     def pack_global(self, t: np.ndarray, R: np.ndarray) -> NodeState:
         """Distribute a global (t [P,d], R [P,d,d]) into padded node states
-        (halo filled by communicate)."""
+        (halo filled by communicate), applying the local gauge offsets."""
         mg = self.mg
+        t = np.asarray(t, np.float64)
         tn = np.zeros((mg.num_nodes, mg.n0_max, mg.d))
         Rn = np.tile(np.eye(mg.d), (mg.num_nodes, mg.n0_max, 1, 1))
         for a in range(mg.num_nodes):
@@ -119,14 +157,21 @@ class DPGOSolver:
             tn[a, :n0] = t[s:s + n0]
             Rn[a, :n0] = R[s:s + n0]
         gidx = mg.start[mg.halo_owner] + mg.halo_lpose
+        th = t[gidx]
+        if self._c is not None:
+            tn = tn - self._c[:, None, :]
+            th = th - self._c[:, None, :]
         return NodeState(
             t=jnp.asarray(tn, self.dtype), R=jnp.asarray(Rn, self.dtype),
-            th=jnp.asarray(t[gidx], self.dtype),
+            th=jnp.asarray(th, self.dtype),
             Rh=jnp.asarray(R[gidx], self.dtype))
 
     def gather_global(self, st: MMState):
-        """Assemble the global (t, R) from per-node own blocks."""
+        """Assemble the global (t, R) from per-node own blocks (undoing the
+        local gauge offsets)."""
         t = st.Z.t[self.node_of, self.local_of]
+        if self._c is not None:
+            t = t + jnp.asarray(self._c, self.dtype)[self.node_of]
         R = st.Z.R[self.node_of, self.local_of]
         return t, R
 
@@ -149,8 +194,9 @@ class DPGOSolver:
         # coordinates grow with graph diameter — costly in f32, where
         # catastrophic cancellation in t_i - t_j scales with |t|).
         t = t - np.asarray(t).mean(axis=0, keepdims=True)
+        self._set_gauge(t)
         st = init_state(self.probs, self.pack_global(t, R))
-        st = communicate(st, self.halo_owner, self.halo_lpose)
+        st = communicate(st, self.halo_owner, self.halo_lpose, self.halo_dc)
         st = st._replace(Z_prev=st.Z)
         return self._first_update(self.probs, st)
 
@@ -162,7 +208,7 @@ class DPGOSolver:
             st = mm_mod.iterate_amm(probs_w, st, self.opts, k)
         else:
             st = mm_mod.iterate_mm(probs_w, st, self.opts, k)
-        st = communicate(st, self.halo_owner, self.halo_lpose)
+        st = communicate(st, self.halo_owner, self.halo_lpose, self.halo_dc)
         # Z_prev (stamped inside iterate) is the previous anchor including the
         # halo of the previous round's communicate — exactly the reference's
         # X[iter-1] as consumed by DPGOHash::update.
@@ -265,6 +311,8 @@ class DPGOStarSolver(DPGOSolver):
 
     def _global_f(self, t_own, R_own):
         t = t_own[self.node_of, self.local_of]
+        if self._c is not None:
+            t = t + jnp.asarray(self._c, self.dtype)[self.node_of]
         R = R_own[self.node_of, self.local_of]
         return evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
 
@@ -278,10 +326,11 @@ class DPGOStarSolver(DPGOSolver):
         if t is None:
             t = recover_translations_global(self.meas, R)
         t = t - np.asarray(t).mean(axis=0, keepdims=True)
+        self._set_gauge(t)
         Z = self.pack_global(t, R)
         st = star_mod.init_star_state(self.probs, Z, 0.0)
         st = st._replace(Z=communicate_star(st.Z, self.halo_owner,
-                                            self.halo_lpose),
+                                            self.halo_lpose, self.halo_dc),
                          )
         st = st._replace(Z_prev=st.Z,
                          F=self._global_f(st.Z.t, st.Z.R))
@@ -292,7 +341,7 @@ class DPGOStarSolver(DPGOSolver):
         st = star_mod.iterate_star(probs, st, self.opts,
                                    self._global_f, k)
         st = st._replace(Z=communicate_star(st.Z, self.halo_owner,
-                                            self.halo_lpose))
+                                            self.halo_lpose, self.halo_dc))
         return star_mod.update_star(probs, st, self.opts, first=False)
 
     def _metrics_impl(self, st):
@@ -302,6 +351,10 @@ class DPGOStarSolver(DPGOSolver):
         return 2.0 * f, 2.0 * g
 
 
-def communicate_star(Z: NodeState, halo_owner, halo_lpose) -> NodeState:
-    return NodeState(t=Z.t, R=Z.R, th=Z.t[halo_owner, halo_lpose],
+def communicate_star(Z: NodeState, halo_owner, halo_lpose,
+                     halo_dc=None) -> NodeState:
+    th = Z.t[halo_owner, halo_lpose]
+    if halo_dc is not None:
+        th = th + halo_dc
+    return NodeState(t=Z.t, R=Z.R, th=th,
                      Rh=Z.R[halo_owner, halo_lpose])

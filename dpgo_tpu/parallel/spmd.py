@@ -98,16 +98,22 @@ def _ring_rounds(mg: MultiGraph, num_devices: int) -> int:
 
 
 def _halo_exchange(t_own, R_own, owner_l, slot_l, bnd_l, halo: str,
-                   num_devices: int, nodes_per_dev: int, ring_rounds: int):
+                   num_devices: int, nodes_per_dev: int, ring_rounds: int,
+                   dc_l=None):
     """Refresh halos from own states inside shard_map (axis name 'nodes').
 
     All arrays carry the LOCAL node axis leading ([npd, ...]); owner_l holds
-    GLOBAL owner node ids.
+    GLOBAL owner node ids. `dc_l` [npd, n1_max, d] re-expresses the owner's
+    locally-centered translations in the reader's frame (local gauge
+    centering, driver._set_gauge).
     """
+    def shift(th):
+        return th if dc_l is None else th + dc_l
+
     if halo == "gather":
         t_all = lax.all_gather(t_own, "nodes", axis=0, tiled=True)
         R_all = lax.all_gather(R_own, "nodes", axis=0, tiled=True)
-        return t_all[owner_l, slot_l[1]], R_all[owner_l, slot_l[1]]
+        return shift(t_all[owner_l, slot_l[1]]), R_all[owner_l, slot_l[1]]
 
     slot = slot_l[0]
     tb = jnp.take_along_axis(t_own, bnd_l[:, :, None], axis=1)
@@ -115,7 +121,7 @@ def _halo_exchange(t_own, R_own, owner_l, slot_l, bnd_l, halo: str,
     if halo == "boundary":
         t_all = lax.all_gather(tb, "nodes", axis=0, tiled=True)   # [N, B, d]
         R_all = lax.all_gather(Rb, "nodes", axis=0, tiled=True)
-        return t_all[owner_l, slot], R_all[owner_l, slot]
+        return shift(t_all[owner_l, slot]), R_all[owner_l, slot]
 
     assert halo == "ring"
     D, npd = num_devices, nodes_per_dev
@@ -133,7 +139,7 @@ def _halo_exchange(t_own, R_own, owner_l, slot_l, bnd_l, halo: str,
         if r < ring_rounds:
             buf_t = lax.ppermute(buf_t, "nodes", perm)
             buf_R = lax.ppermute(buf_R, "nodes", perm)
-    return th, Rh
+    return shift(th), Rh
 
 
 class ShardedDPGOSolver(DPGOSolver):
@@ -179,10 +185,17 @@ class ShardedDPGOSolver(DPGOSolver):
         st = super().initialize(t, R)
         return self._shard_state(st)
 
-    def _exchange(self, t_own, R_own, owner_l, slot_pair, bnd_l):
+    def _exchange(self, t_own, R_own, owner_l, slot_pair, bnd_l, dc_l=None):
         return _halo_exchange(t_own, R_own, owner_l, slot_pair, bnd_l,
                               self.halo, self.num_devices,
-                              self.nodes_per_dev, self.ring_rounds)
+                              self.nodes_per_dev, self.ring_rounds,
+                              dc_l=dc_l)
+
+    def _dc(self):
+        """Per-halo-entry gauge offsets (zeros when centering is off)."""
+        if getattr(self, "halo_dc", None) is not None:
+            return self.halo_dc
+        return jnp.zeros(self.halo_owner.shape + (self.mg.d,), self.dtype)
 
     def _step_impl(self, probs, st: MMState, k):
         opts = self.opts
@@ -192,23 +205,24 @@ class ShardedDPGOSolver(DPGOSolver):
         # (trust radius, counters) whose varying-axis tags the static checker
         # cannot infer; the computation itself is per-node-parallel.
         @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=(nspec, nspec, nspec, nspec, nspec, nspec, P()),
+                 in_specs=(nspec, nspec, nspec, nspec, nspec, nspec, nspec,
+                           P()),
                  out_specs=nspec, check_vma=False)
-        def step(probs_l, st_l, owner_l, lpose_l, slot_l, bnd_l, kk):
+        def step(probs_l, st_l, owner_l, lpose_l, slot_l, bnd_l, dc_l, kk):
             probs_w = mm_mod.reweighted_problems(probs_l, st_l, opts)
             if opts.accelerated:
                 st2 = mm_mod.iterate_amm(probs_w, st_l, opts, kk)
             else:
                 st2 = mm_mod.iterate_mm(probs_w, st_l, opts, kk)
             th, Rh = self._exchange(st2.Z.t, st2.Z.R, owner_l,
-                                    (slot_l, lpose_l), bnd_l)
+                                    (slot_l, lpose_l), bnd_l, dc_l)
             Z = NodeState(t=st2.Z.t, R=st2.Z.R, th=th, Rh=Rh)
             st2 = st2._replace(Z=Z)
             return mm_mod.update_state(probs_l, st2, opts, kk + 1,
                                        first=False)
 
         return step(probs, st, self.halo_owner, self.halo_lpose,
-                    self.halo_slot, self.bnd, k)
+                    self.halo_slot, self.bnd, self._dc(), k)
 
 
 class ShardedDPGOStarSolver(DPGOStarSolver):
@@ -256,10 +270,16 @@ class ShardedDPGOStarSolver(DPGOStarSolver):
             st, jax.tree.map(lambda sp: NamedSharding(mesh, sp),
                              self._state_spec(st)))
 
-    def _exchange(self, t_own, R_own, owner_l, slot_pair, bnd_l):
+    def _exchange(self, t_own, R_own, owner_l, slot_pair, bnd_l, dc_l=None):
         return _halo_exchange(t_own, R_own, owner_l, slot_pair, bnd_l,
                               self.halo, self.num_devices,
-                              self.nodes_per_dev, self.ring_rounds)
+                              self.nodes_per_dev, self.ring_rounds,
+                              dc_l=dc_l)
+
+    def _dc(self):
+        if getattr(self, "halo_dc", None) is not None:
+            return self.halo_dc
+        return jnp.zeros(self.halo_owner.shape + (self.mg.d,), self.dtype)
 
     def _step_impl(self, probs, st, k):
         opts = self.opts
@@ -267,14 +287,17 @@ class ShardedDPGOStarSolver(DPGOStarSolver):
         sspec = self._state_spec(st)
 
         @partial(jax.shard_map, mesh=self.mesh,
-                 in_specs=(nspec, sspec, nspec, nspec, nspec, nspec, P()),
+                 in_specs=(nspec, sspec, nspec, nspec, nspec, nspec, nspec,
+                           P()),
                  out_specs=sspec, check_vma=False)
-        def step(probs_l, st_l, owner_l, lpose_l, slot_l, bnd_l, kk):
+        def step(probs_l, st_l, owner_l, lpose_l, slot_l, bnd_l, dc_l, kk):
             def global_f(t_own_l, R_own_l):
                 # Gather every node's candidate separator state, rebuild
-                # halos, and psum the per-node objective shares.
+                # halos, and psum the per-node objective shares (per-node
+                # terms are shift-invariant, so the local gauge frames drop
+                # out of the sum).
                 th, Rh = self._exchange(t_own_l, R_own_l, owner_l,
-                                        (slot_l, lpose_l), bnd_l)
+                                        (slot_l, lpose_l), bnd_l, dc_l)
                 Z = NodeState(t=t_own_l, R=R_own_l, th=th, Rh=Rh)
                 local = jnp.sum(jax.vmap(
                     lambda p, z: p.local_fobj(z))(probs_l, Z))
@@ -282,10 +305,10 @@ class ShardedDPGOStarSolver(DPGOStarSolver):
 
             st2 = star_mod.iterate_star(probs_l, st_l, opts, global_f, kk)
             th, Rh = self._exchange(st2.Z.t, st2.Z.R, owner_l,
-                                    (slot_l, lpose_l), bnd_l)
+                                    (slot_l, lpose_l), bnd_l, dc_l)
             Z = NodeState(t=st2.Z.t, R=st2.Z.R, th=th, Rh=Rh)
             st2 = st2._replace(Z=Z)
             return star_mod.update_star(probs_l, st2, opts, first=False)
 
         return step(probs, st, self.halo_owner, self.halo_lpose,
-                    self.halo_slot, self.bnd, k)
+                    self.halo_slot, self.bnd, self._dc(), k)

@@ -59,6 +59,11 @@ class MMOptions:
     # ~1e-7-relative error, no drift). None = auto: telescoped in f64,
     # direct in f32 (resolved by the driver).
     telescoped: bool | None = None
+    # Local gauge centering: store each node's translations relative to its
+    # fixed block centroid (driver._set_gauge). Difference-based costs are
+    # unchanged; f32 cancellation error drops from graph-diameter to
+    # block-diameter scale. None = auto (on in f32, off in f64).
+    local_gauge: bool | None = None
     eta0: float = 5e-4
     eta1: float = 2.5e-2
     psi: float = 1e-10

@@ -113,3 +113,28 @@ def test_device_scan_matches_per_step(rng):
     st_c, _, (fh, gh) = s.run_steps_history(st, jnp.zeros((), jnp.int32), 10)
     assert fh.shape == (10,)
     np.testing.assert_array_equal(np.asarray(fh[-1]), np.asarray(fb))
+
+
+def test_local_gauge_invariance():
+    """Local (per-node block centroid) gauge centering leaves the f64
+    trajectory unchanged: every cost/solver quantity is difference-based
+    (only the xi = 1e-11 tie-breaker sees the frame)."""
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    base = DPGOSolver(meas, num_nodes=4,
+                      opts=MMOptions(accelerated=True, local_gauge=False))
+    cent = DPGOSolver(meas, num_nodes=4,
+                      opts=MMOptions(accelerated=True, local_gauge=True))
+    st_b = base.initialize()
+    st_c = cent.initialize()
+    assert cent._c is not None and base._c is None
+    k0 = jnp.zeros((), jnp.int32)
+    st_b, _ = base.run_steps(st_b, k0, 30)
+    st_c, _ = cent.run_steps(st_c, k0, 30)
+    fb, gb = map(float, base._metrics(st_b))
+    fc, gc = map(float, cent._metrics(st_c))
+    np.testing.assert_allclose(fb, fc, rtol=1e-9)
+    np.testing.assert_allclose(gb, gc, rtol=1e-6, atol=1e-9)
+    tb, Rb = map(np.asarray, base.gather_global(st_b))
+    tc, Rc = map(np.asarray, cent.gather_global(st_c))
+    np.testing.assert_allclose(tb, tc, rtol=1e-7, atol=1e-8)
+    np.testing.assert_allclose(Rb, Rc, rtol=1e-7, atol=1e-8)
