@@ -45,7 +45,7 @@ class DPGOSolver:
     def __init__(self, meas: Measurements, num_nodes: int,
                  opts: MMOptions | None = None,
                  loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
-                 dtype=jnp.float64):
+                 dtype=jnp.float64, dense_limit: int = 4096):
         self.meas = meas
         self.num_nodes = num_nodes
         self.opts = opts or MMOptions()
@@ -54,9 +54,12 @@ class DPGOSolver:
         precon_cond = self.opts.precon_cond
         if precon_cond is None:
             precon_cond = 1e6 if dtype == jnp.float64 else 1e5
+        # dense_limit: per-node blocks with n0*d above it use the edge-wise
+        # (matrix-free) operator path instead of materialized dense MXU
+        # operators — the memory fallback for very large blocks.
         self.probs = build_node_problems(
             self.mg, xi=self.opts.regularizer, loss=loss, loss_reg=loss_reg,
-            precon_cond=precon_cond, dtype=dtype)
+            precon_cond=precon_cond, dense_limit=dense_limit, dtype=dtype)
         self.edges = EdgeData.from_measurements(
             meas, node_of=self.part.node_of, dtype=dtype)
         self.loss = loss

@@ -138,3 +138,26 @@ def test_local_gauge_invariance():
     tc, Rc = map(np.asarray, cent.gather_global(st_c))
     np.testing.assert_allclose(tb, tc, rtol=1e-7, atol=1e-8)
     np.testing.assert_allclose(Rb, Rc, rtol=1e-7, atol=1e-8)
+
+
+def test_edgewise_dense_path_parity():
+    """The edge-wise (matrix-free) operator path — the fallback for blocks
+    above dense_limit — matches the dense MXU path trajectory.
+
+    TNT refinement is disabled: the two paths use different (equally valid)
+    STPCG preconditioners, so refined trajectories legitimately diverge;
+    the proximal/update math must agree to rounding."""
+    opts = MMOptions(accelerated=True, tnt=TNTParams(max_iterations=0))
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    dense = DPGOSolver(meas, num_nodes=4, opts=opts)
+    edge = DPGOSolver(meas, num_nodes=4, opts=opts, dense_limit=0)
+    assert dense.probs.dense and not edge.probs.dense
+    st_d = dense.initialize()
+    st_e = edge.initialize()
+    k0 = jnp.zeros((), jnp.int32)
+    st_d, _ = dense.run_steps(st_d, k0, 15)
+    st_e, _ = edge.run_steps(st_e, k0, 15)
+    fd, gd = map(float, dense._metrics(st_d))
+    fe, ge = map(float, edge._metrics(st_e))
+    np.testing.assert_allclose(fd, fe, rtol=1e-8)
+    np.testing.assert_allclose(gd, ge, rtol=1e-5, atol=1e-8)

@@ -1,9 +1,14 @@
 """Run the BASELINE.json configuration suite and write BASELINE_RESULTS.md.
 
-Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/run_baselines.py
-       [--iters N] [--out BASELINE_RESULTS.md]
+Usage:
+  CPU f64 (default):
+    PYTHONPATH=/root/repo python tools/run_baselines.py
+  Real TPU f32:
+    PYTHONPATH=/root/.axon_site:/root/repo python tools/run_baselines.py \
+        --platform tpu --out BASELINE_RESULTS_TPU.md
 
-Covers the five BASELINE.json configs (substituting smallGrid3D for the
+Covers the five BASELINE.json configs (substituting smallGrid3D and the
+synthetic artifacts/grid3D_synth.g2o — tools/make_grid3d.py — for the
 stripped grid3D/rim blobs) plus certification of the final estimates.
 """
 
@@ -12,77 +17,100 @@ import os
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-
-import jax
-
-jax.config.update("jax_platforms", os.environ.get("DPGO_PLATFORM", "cpu"))
-jax.config.update("jax_enable_x64", True)
-
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from dpgo_tpu.io.g2o import read_g2o_file
-from dpgo_tpu.driver import DPGOSolver, DPGOStarSolver
-from dpgo_tpu.losses import Loss
-from dpgo_tpu.solvers.mm import MMOptions
-
 DATA = "/root/reference/dataset"
-
-
-def run_config(name, dataset, nodes, iters, accelerated=True, solver="hash",
-               loss=Loss.TRIVIAL, pcm=False, dist_init=False, certify=False):
-    meas = read_g2o_file(os.path.join(DATA, dataset))
-    if pcm:
-        from dpgo_tpu.pcm import PCMOptions, pcm_filter
-        from dpgo_tpu.sesync import (chordal_initialization,
-                                     recover_translations_global)
-        R0 = chordal_initialization(meas)
-        t0 = recover_translations_global(meas, R0)
-        meas, keep = pcm_filter(meas, nodes, t0, R0, PCMOptions(tolerance=1.0))
-        pcm_note = f"PCM kept {keep.sum()}/{len(keep)}"
-    else:
-        pcm_note = ""
-    cls = DPGOStarSolver if solver == "star" else DPGOSolver
-    s = cls(meas, num_nodes=nodes, opts=MMOptions(accelerated=accelerated),
-            loss=loss, loss_reg=0.25)
-    t0 = time.time()
-    if solver == "hash":
-        st = s.initialize(dist_init=dist_init)
-    else:
-        st = s.initialize()
-    import jax.numpy as jnp
-    f0, g0 = s._metrics(st)
-    for k in range(iters):
-        st = s._step(st, jnp.asarray(k, jnp.int32))
-    f1, g1 = s._metrics(st)
-    dt = time.time() - t0
-    cert = ""
-    if certify and loss is Loss.TRIVIAL:
-        from dpgo_tpu.sesync.staircase import certify_solution
-        t_g, R_g = map(np.asarray, s.gather_global(st))
-        ok, lam, bound, fx = certify_solution(meas, R_g)
-        cert = f"lam_min={lam:.2e} {'CERT' if ok else 'uncert'}"
-    row = (name, dataset, nodes, iters, float(f0), float(f1), float(g1), dt,
-           " ".join(x for x in (pcm_note, cert) if x))
-    print(row, flush=True)
-    return row
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=300)
     ap.add_argument("--out", default="BASELINE_RESULTS.md")
+    ap.add_argument("--platform", default="cpu", choices=["cpu", "tpu"])
     args = ap.parse_args()
     it = args.iters
+
+    if args.platform == "cpu":
+        os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    else:
+        os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                              "/tmp/dpgo_jax_cache")
+
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    else:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.driver import DPGOSolver, DPGOStarSolver
+    from dpgo_tpu.losses import Loss
+    from dpgo_tpu.solvers.mm import MMOptions
+
+    dtype = jnp.float64 if args.platform == "cpu" else jnp.float32
+
+    def run_config(name, dataset, nodes, iters, accelerated=True,
+                   solver="hash", loss=Loss.TRIVIAL, pcm=False,
+                   dist_init=False, certify=False):
+        path = dataset if os.path.isabs(dataset) \
+            else os.path.join(DATA, dataset)
+        meas = read_g2o_file(path)
+        if pcm:
+            from dpgo_tpu.pcm import PCMOptions, pcm_filter
+            from dpgo_tpu.sesync import (chordal_initialization,
+                                         recover_translations_global)
+            R0 = chordal_initialization(meas)
+            t0 = recover_translations_global(meas, R0)
+            meas, keep = pcm_filter(meas, nodes, t0, R0,
+                                    PCMOptions(tolerance=1.0))
+            pcm_note = f"PCM kept {keep.sum()}/{len(keep)}"
+        else:
+            pcm_note = ""
+        cls = DPGOStarSolver if solver == "star" else DPGOSolver
+        s = cls(meas, num_nodes=nodes,
+                opts=MMOptions(accelerated=accelerated),
+                loss=loss, loss_reg=0.25, dtype=dtype)
+        st = s.initialize(dist_init=dist_init) if solver == "hash" \
+            else s.initialize()
+        f0, g0 = s._metrics(st)
+        k0 = jnp.zeros((), jnp.int32)
+        # Device-side chunked stepping (one dispatch per chunk; essential
+        # through the axon tunnel).
+        t_start = time.time()
+        st, _ = s.run_steps(st, k0, iters)
+        f1, g1 = s._metrics(st)
+        float(f1)  # device_get sync
+        dt = time.time() - t_start
+        cert = ""
+        if certify and loss is Loss.TRIVIAL:
+            from dpgo_tpu.sesync.staircase import certify_solution
+            t_g, R_g = map(np.asarray, s.gather_global(st))
+            ok, lam, bound, fx = certify_solution(meas, R_g,
+                                                  dtype=jnp.float64)
+            cert = f"lam_min={lam:.2e} {'CERT' if ok else 'uncert'}"
+        row = (name, os.path.basename(dataset), nodes, iters, float(f0),
+               float(f1), float(g1), dt,
+               " ".join(x for x in (pcm_note, cert) if x))
+        print(row, flush=True)
+        return row
 
     rows = []
 
     def flush_rows():
+        hdr = ("CPU float64" if args.platform == "cpu"
+               else "TPU v5e float32 (one chip; secs include the timed "
+                    "solve only, not compilation)")
         with open(args.out, "w") as fh:
             fh.write("# BASELINE configuration results\n\n")
-            fh.write(f"(CPU float64, {it} iterations per config; objective "
+            fh.write(f"({hdr}, {it} iterations per config; objective "
                      "convention 2*fobj as in the reference driver)\n\n")
             fh.write("| config | dataset | nodes | iters | 2f init | "
                      "2f final | 2|grad| | secs | notes |\n"
@@ -90,16 +118,17 @@ def main():
             for r in rows:
                 fh.write(f"| {r[0]} | {r[1]} | {r[2]} | {r[3]} | "
                          f"{r[4]:.4f} | {r[5]:.4f} | {r[6]:.2e} | "
-                         f"{r[7]:.0f} | {r[8]} |\n")
+                         f"{r[7]:.1f} | {r[8]} |\n")
 
     def add(row):
         rows.append(row)
         flush_rows()
 
+    grid_synth = os.path.join(REPO, "artifacts", "grid3D_synth.g2o")
+
     add(run_config("cfg1 MM single-node", "CSAIL.g2o", 1, it,
                    accelerated=False, certify=True))
-    add(run_config("cfg2 AMM* chordal", "intel.g2o", 4, it,
-                   solver="star"))
+    add(run_config("cfg2 AMM* chordal", "intel.g2o", 4, it, solver="star"))
     add(run_config("cfg2 AMM* chordal", "M3500.g2o", 4, it, solver="star"))
     add(run_config("cfg3 AMM# 8-node", "sphere2500.g2o", 8, it,
                    certify=True))
@@ -108,6 +137,9 @@ def main():
                    loss=Loss.HUBER, pcm=True))
     add(run_config("cfg4 Welsch", "smallGrid3D.g2o", 4, it,
                    loss=Loss.WELSCH))
+    if os.path.exists(grid_synth):
+        add(run_config("cfg4 Huber (synthetic grid3D)", grid_synth, 8, it,
+                       loss=Loss.HUBER))
     add(run_config("cfg5 16-node + cert", "parking-garage.g2o", 4, it,
                    certify=True))
     add(run_config("cfg5 16-node + cert", "cubicle.g2o", 16, it,
