@@ -153,8 +153,10 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
             pass  # disconnected intra graph: identity seed
     R_loc = jnp.asarray(R_loc, dtype)
     zeros_t = jnp.zeros((N, n0m, d), dtype)
+    # Pure-coupling rhs (g = 0): anchor the null response at zero.
     t_loc = jax.vmap(lambda p, R: p.recover_translations(
-        R, jnp.zeros((n0m, d), dtype)))(probs0, R_loc)
+        R, jnp.zeros((n0m, d), dtype),
+        t_anchor=jnp.zeros((n0m, d), dtype)))(probs0, R_loc)
 
     if cfg.refine_stage0:
         # Per-node Riemannian refinement of the intra-only problem (the
@@ -167,7 +169,9 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
                           Rh=jnp.tile(jnp.eye(d, dtype=dtype),
                                       (mg.n1_max, 1, 1)))
             g, f = p0.surrogate_g_f(Z)
-            model = _make_tnt_model(p0, g[0], g[1], f)
+            # Intra-only problems are all null-space (no inter edges):
+            # anchor the translation solves at t0 (see solve_mG00).
+            model = _make_tnt_model(p0, g[0], g[1], f, t_anchor=t0)
             tn, Rn, _, _, _ = tnt(model, t0, R0, params)
             return tn, Rn
 
@@ -285,7 +289,8 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
 
     # ---------------- stage 3: reduced translation ------------------------
     t_loc2 = jax.vmap(lambda p, R: p.recover_translations(
-        R, jnp.zeros((n0m, d), dtype)))(probs0, R2)
+        R, jnp.zeros((n0m, d), dtype),
+        t_anchor=jnp.zeros((n0m, d), dtype)))(probs0, R2)
     th2 = exchange(t_loc2)
     Rh2 = exchange(R2)
     t_self = jnp.take_along_axis(t_loc2, e_self[:, :, None], axis=1)
@@ -349,7 +354,8 @@ def distributed_chordal_init(meas: Measurements, num_nodes: int,
         def per_node(p, t_own, t_halo, R_own, R_halo):
             Z = NodeState(t=t_own, R=R_own, th=t_halo, Rh=R_halo)
             g = trans_g(p, Z)
-            return -p.solve_mG00(g)
+            # g carries -xi Z.t: anchor the null response at Z.t.
+            return -p.solve_mG00(g, t_anchor=t_own)
 
         return jax.vmap(per_node)(probs, tcur, thh, R2, Rh2)
 

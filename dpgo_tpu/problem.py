@@ -441,22 +441,38 @@ class NodeProblem:
             "pab,pb->pa", dR, self.nvec) - Tv[:, None] * Df_t
         return t_new, R_new
 
-    def solve_mG00(self, rhs):
+    def solve_mG00(self, rhs, t_anchor=None):
         """Apply the inverse of the translation block to rhs [n0, d]:
         split inverse of the base system, plus (dynamic rescale) the Woodbury
-        correction for the diagonal weight delta."""
+        correction for the diagonal weight delta.
+
+        Null-space handling: mG00 = L + xi I is genuinely near-singular on
+        connected components without inter edges (the single-node case), and
+        the exact null response (nullV^T rhs) / xi amplifies rounding noise
+        in rhs by 1/xi = 1e11 — catastrophic in f32 (observed: single-node
+        MM oscillating at 2f ~ 32 instead of converging to 31.70). For every
+        rhs the solver produces, rhs = g + mG01 R with nullV^T mG01 = 0 and
+        nullV^T g = -xi nullV^T z_anchor EXACTLY (inter rows vanish on such
+        components), so the null response equals the gauge of the anchor
+        state: pass `t_anchor` (the state whose surrogate produced g; zeros
+        for a pure-coupling rhs like the Hessian's) to compute it without
+        the 1/xi amplification. t_anchor=None keeps the legacy division."""
         out = jnp.einsum("pq,qa->pa", self.Minv_red, rhs)
-        c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
+        if t_anchor is None:
+            c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
+        else:
+            c = -jnp.einsum("pk,pa->ka", self.null_V, t_anchor)
         out = out + jnp.einsum("pk,ka->pa", self.null_V, c)
         if self.dynamic:
             corr = jnp.einsum("kl,la->ka", self.wood_C, out[self.ipose])
             out = out - jnp.einsum("pk,ka->pa", self.SU, corr)
         return out
 
-    def recover_translations(self, R, g_t):
+    def recover_translations(self, R, g_t, t_anchor=None):
         """t = -mG00^{-1} (g_t + mG01 R) (reference recover_translations,
-        DPGOProblem.h:275-294, CHOLMOD solve -> cached split inverse)."""
-        return -self.solve_mG00(g_t + self.mG01_apply(R))
+        DPGOProblem.h:275-294, CHOLMOD solve -> cached split inverse).
+        `t_anchor`: see solve_mG00."""
+        return -self.solve_mG00(g_t + self.mG01_apply(R), t_anchor)
 
     def mG01_apply(self, M):
         """t-space result of the G translation-rotation coupling block.
@@ -574,9 +590,10 @@ class NodeProblem:
         return self.proj_tall(Q, E)
 
     def _solve_mG00_fast(self, rhs, mm):
+        # Hessian rhs = mG01 Qdot has exactly zero null component
+        # (nullV^T mG01 = 0), so the null response is dropped rather than
+        # reconstructed from 1e11-amplified rounding noise (see solve_mG00).
         out = mm(self.Minv_red, rhs)
-        c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
-        out = out + jnp.einsum("pk,ka->pa", self.null_V, c)
         if self.dynamic:
             corr = jnp.einsum("kl,la->ka", self.wood_C, out[self.ipose])
             out = out - jnp.einsum("pk,ka->pa", self.SU, corr)
@@ -589,8 +606,8 @@ class NodeProblem:
                        precision=jax.lax.Precision.DEFAULT)
         return self.proj_tall(Q, P)
 
-    def recover_translations_tall(self, Q, g_t):
-        return -self.solve_mG00(g_t + self.mG01_d @ Q)
+    def recover_translations_tall(self, Q, g_t, t_anchor=None):
+        return -self.solve_mG00(g_t + self.mG01_d @ Q, t_anchor)
 
     # ---------------------------------------------------- TNT building blocks
 
@@ -600,8 +617,10 @@ class NodeProblem:
 
     def reduced_hessian_vp(self, R, nablaR, Rdot):
         """Riemannian Hessian-vector product of the reduced (t-eliminated)
-        surrogate (DPGOProblem.cpp:552-577)."""
-        tdot = -self.solve_mG00(self.mG01_apply(Rdot))
+        surrogate (DPGOProblem.cpp:552-577). The rhs has exactly zero null
+        component, so the null response is dropped (see solve_mG00)."""
+        rhs = self.mG01_apply(Rdot)
+        tdot = -self.solve_mG00(rhs, t_anchor=jnp.zeros_like(rhs))
         E = self.mG10_apply(tdot) + self.mG11_apply(Rdot)
         E = E - sym_block_diag_product(Rdot, R, nablaR)
         return proj_tangent(R, E)

@@ -253,7 +253,7 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
 # -------------------------------------------------------------- TNT plumbing
 
 
-def _make_tnt_model(p: NodeProblem, g_t, g_R, f) -> TNTModel:
+def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None) -> TNTModel:
     def objective(x):
         return p.evaluate_G(x[0], x[1], (g_t, g_R), f)
 
@@ -269,14 +269,15 @@ def _make_tnt_model(p: NodeProblem, g_t, g_R, f) -> TNTModel:
 
     def retract(x, h):
         R_new = project_sod(x[1] + h)
-        return p.recover_translations(R_new, g_t), R_new
+        return p.recover_translations(R_new, g_t, t_anchor), R_new
 
     return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
                     hess_vp=hess_vp, precondition=precondition,
                     retract=retract)
 
 
-def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f) -> TNTModel:
+def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
+                          t_anchor=None) -> TNTModel:
     """Dense MXU TNT model in tall Q-storage (variable (t, Q [n d, d]))."""
 
     def objective(x):
@@ -295,30 +296,33 @@ def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f) -> TNTModel:
     def retract(x, h):
         Qb = (x[1] + h).reshape(-1, p.d, p.d)
         Q_new = project_sod(Qb).reshape(x[1].shape)
-        return p.recover_translations_tall(Q_new, g_t), Q_new
+        return p.recover_translations_tall(Q_new, g_t, t_anchor), Q_new
 
     return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
                     hess_vp=hess_vp, precondition=precondition,
                     retract=retract)
 
 
-def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams):
+def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
+               t_anchor=None):
+    if t_anchor is None:
+        t_anchor = jnp.zeros_like(t0)
     if probs.dense:
-        def one(p, t, R, gt, gR, fv):
-            model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv)
+        def one(p, t, R, gt, gR, fv, ta):
+            model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta)
             x, fx, _, _ = tnt_generic(model, (t, p.to_tall(R)), params)
             return x[0], p.from_tall(x[1]), fx
     else:
-        def one(p, t, R, gt, gR, fv):
-            model = _make_tnt_model(p, gt, gR, fv)
+        def one(p, t, R, gt, gR, fv, ta):
+            model = _make_tnt_model(p, gt, gR, fv, ta)
             tn, Rn, fx, _, _ = tnt(model, t, R, params)
             return tn, Rn, fx
 
-    return jax.vmap(one)(probs, t0, R0, g_t, g_R, f)
+    return jax.vmap(one)(probs, t0, R0, g_t, g_R, f, t_anchor)
 
 
 def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
-                fallback_G):
+                fallback_G, t_anchor=None):
     """Run batched TNT only if any node needs it; select per node by mask.
     Returns (t, R, G value at result).
 
@@ -330,7 +334,8 @@ def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
         return t0, R0, fallback_G
 
     def run(_):
-        tn, Rn, fx = _tnt_batch(probs, t0, R0, g_t, g_R, f, params)
+        tn, Rn, fx = _tnt_batch(probs, t0, R0, g_t, g_R, f, params,
+                                t_anchor)
         return (jnp.where(mask[:, None, None], tn, t0),
                 jnp.where(mask[:, None, None, None], Rn, R0),
                 jnp.where(mask, fx, fallback_G))
@@ -409,10 +414,10 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
 
     # Candidate Xak: proximal rotations + translations re-solved with the
     # extrapolated g (DPGOHash.cpp:369-372).
-    t_c = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
-        probs, th_R, g_t_ex)
+    t_c = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))(
+        probs, th_R, g_t_ex, Y.t)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex, st.f,
-                                  refined, opts.tnt, Gkh)
+                                  refined, opts.tnt, Gkh, t_anchor=Y.t)
     Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     # Exceptional-path cascade (DPGOHash.cpp:386-441): the proximal retry,
@@ -446,14 +451,14 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # proximal; translations from g (non-extrapolated).
         good = Gkh2 <= st.fobj
         r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
-        r_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
-            probs, r_R, st.g_t)
+        r_t = jax.vmap(lambda p, R, gt, ta: p.recover_translations(
+            R, gt, ta))(probs, r_R, st.g_t, st.Z.t)
         r_G = _eval_G_batch(probs, st, r_t, r_R, zres)
         # Nodes with restart & refined get TNT refinement + its objective
         # value; restart & ~refined keep the evaluated proximal value.
         rt_t, rt_R, _ = _masked_tnt(
             probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined,
-            opts.tnt, r_G)
+            opts.tnt, r_G, t_anchor=st.Z.t)
         # Re-evaluate in the stable relative form (TNT's internal objective
         # is the absolute dense form, fine for its own accept/reject ratios
         # but too coarse in f32 to feed the restart comparisons).
@@ -468,8 +473,9 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # (DPGOHash.cpp:434-441).
         use_h = (st.Fk0 - Gk2) < opts.phi * (st.Fk0 - Gkh2)
         g_sel_t = jnp.where(restart[:, None, None], st.g_t, g_t_ex)
-        phi_t = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
-            probs, Xakh_R, g_sel_t)
+        t_sel = jnp.where(restart[:, None, None], st.Z.t, Y.t)
+        phi_t = jax.vmap(lambda p, R, gt, ta: p.recover_translations(
+            R, gt, ta))(probs, Xakh_R, g_sel_t, t_sel)
         Xk_t = jnp.where(use_h[:, None, None], phi_t, Xk_t)
         Xk_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xk_R)
         Gk3 = jnp.where(use_h,
@@ -501,11 +507,11 @@ def iterate_mm(probs: NodeProblem, st: MMState, opts: MMOptions,
 
     th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
         probs, st.Z, st.Df_t, st.Df_R)
-    t_c = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))(
-        probs, th_R, st.g_t)
+    t_c = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))(
+        probs, th_R, st.g_t, st.Z.t)
     G0 = _eval_G_batch(probs, st, t_c, th_R)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
-                                  refined, opts.tnt, G0)
+                                  refined, opts.tnt, G0, t_anchor=st.Z.t)
     Gk = _eval_G_batch(probs, st, Xak_t, Xak_R)
 
     Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)

@@ -136,14 +136,14 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
         refined = jnp.zeros_like(refined)
 
     prox = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))
-    recov = jax.vmap(lambda p, R, gt: p.recover_translations(R, gt))
+    recov = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))
 
     # amm_pgo_n: proximal candidate Xkh + refined candidate Xkp.
     Xh_t, Xh_R = prox(probs, Y, Df_t_ex, Df_R_ex)
-    tp = recov(probs, Xh_R, g_t_ex)
+    tp = recov(probs, Xh_R, g_t_ex, Y.t)
     G0 = _eval_G_batch(probs, st, tp, Xh_R)
     Xp_t, Xp_R, _ = _masked_tnt(probs, tp, Xh_R, g_t_ex, g_R_ex, st.f,
-                                refined, opts.tnt, G0)
+                                refined, opts.tnt, G0, t_anchor=Y.t)
 
     def sqdiff(at, aR, bt, bR):
         return (jnp.sum((at - bt) ** 2) + jnp.sum((aR - bR) ** 2))
@@ -166,10 +166,10 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
 
     def mm_fallback(args):
         Xp_t, Xp_R, fobj, s_next = args
-        t2 = recov(probs, Xh_R, st.g_t)
+        t2 = recov(probs, Xh_R, st.g_t, st.Z.t)
         G2 = _eval_G_batch(probs, st, t2, Xh_R)
         t3, R3, _ = _masked_tnt(probs, t2, Xh_R, st.g_t, st.g_R, st.f,
-                                refined, opts.tnt, G2)
+                                refined, opts.tnt, G2, t_anchor=st.Z.t)
         return (t3, R3, global_f_fn(t3, R3),
                 jnp.maximum(0.5 * s_next, 1.0))
 
@@ -180,7 +180,7 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     # phi-test: adopt the proximal rotations + re-solved translations.
     def phi_select(args):
         Xp_t, Xp_R, fobj = args
-        t2 = recov(probs, Xh_R, st.g_t)
+        t2 = recov(probs, Xh_R, st.g_t, st.Z.t)
         return t2, Xh_R, global_f_fn(t2, Xh_R)
 
     take_h = (st.F - fobj) < opts.phi * (st.F - fobjh)

@@ -161,3 +161,18 @@ def test_edgewise_dense_path_parity():
     fe, ge = map(float, edge._metrics(st_e))
     np.testing.assert_allclose(fd, fe, rtol=1e-8)
     np.testing.assert_allclose(gd, ge, rtol=1e-5, atol=1e-8)
+
+
+def test_single_node_f32_converges():
+    """Regression: single-node (no inter edges) f32 used to oscillate at
+    2f ~ 32-33 — the split-inverse null response (null^T rhs)/xi amplified
+    f32 rounding by 1/xi = 1e11. The anchored null response (solve_mG00
+    t_anchor) computes it exactly."""
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    s = DPGOSolver(meas, num_nodes=1, opts=MMOptions(accelerated=False),
+                   dtype=jnp.float32)
+    st = s.initialize()
+    st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 300)
+    f, g = map(float, s._metrics(st))
+    assert f < 31.75, f   # certified 2f* = 31.7037
+    assert g < 2.0, g
