@@ -65,21 +65,23 @@ def main():
     # on-device in ONE dispatch; per-step host dispatch through the tunnel
     # costs ~60 ms vs the ~5 ms device step).
     n_iters = 150
+    n_tp = 600  # throughput phase: long enough that the ~0.5 s solve
+    #             dominates dispatch jitter through the tunnel
     k0 = jnp.zeros((), jnp.int32)
-    stw, _ = solver.run_steps(st, k0, n_iters)
+    stw, _ = solver.run_steps(st, k0, n_tp)
     np.asarray(stw.fobj)  # device_get: true sync through the tunnel
     stw, _, _ = solver.run_steps_history(st, k0, n_iters)
     np.asarray(stw.fobj)  # device_get: true sync through the tunnel
 
-    # Pure-throughput phase: ONE dispatch for all 150 iterations, from fresh
+    # Pure-throughput phase: ONE dispatch for all iterations, from fresh
     # input buffers (the tunnel appears to memoize executions on identical
     # input buffers — observed 0.4 ms for a 150-iteration re-run).
     st = solver.initialize()
     t0 = time.perf_counter()
-    st, _ = solver.run_steps(st, k0, n_iters)
+    st, _ = solver.run_steps(st, k0, n_tp)
     np.asarray(st.fobj)  # device_get: true sync (block_until_ready is unreliable through the axon tunnel)
     dt = time.perf_counter() - t0
-    ips = n_iters / dt
+    ips = n_tp / dt
     f1, g1 = solver._metrics(st)
 
     # Time-to-target phase: fresh run; the (2f, 2|grad|) trajectory is

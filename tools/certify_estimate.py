@@ -1,0 +1,73 @@
+"""Certify a saved pose estimate in CPU float64, with optional f64 polish.
+
+The hybrid-precision recipe, automated: TPU f32 estimates carry an f32-level
+stationarity defect, and the residual-honest certificate charges that defect
+— so certify in an f64 CPU process, optionally after a short f64 AMM polish
+that removes the f32 noise (30 iterations suffice on the benchmark graphs).
+
+Prints ONE JSON line. Used by tools/run_baselines.py --platform tpu (a TPU
+process cannot compute f64, so it shells out here); also usable standalone:
+
+  JAX_PLATFORMS=cpu python tools/certify_estimate.py \
+      --dataset /root/reference/dataset/sphere2500.g2o --npz est.npz \
+      --num_nodes 8 --polish_iters 30
+"""
+
+import argparse
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset", required=True)
+    ap.add_argument("--npz", required=True, help=".npz with t [P,d], R [P,d,d]")
+    ap.add_argument("--num_nodes", type=int, default=8)
+    ap.add_argument("--polish_iters", type=int, default=30)
+    ap.add_argument("--min_eig_tol", type=float, default=1e-5)
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+    from dpgo_tpu.sesync.staircase import certify_solution
+
+    meas = read_g2o_file(args.dataset)
+    data = np.load(args.npz)
+    t, R = data["t"], data["R"]
+
+    polished_2f = None
+    if args.polish_iters > 0:
+        s = DPGOSolver(meas, num_nodes=args.num_nodes,
+                       opts=MMOptions(accelerated=True), dtype=jnp.float64)
+        st = s.initialize(t=t, R=R)
+        st, _ = s.run_steps(st, jnp.zeros((), jnp.int32),
+                            args.polish_iters)
+        f, _ = s._metrics(st)
+        polished_2f = float(f)
+        t, R = map(np.asarray, s.gather_global(st))
+
+    ok, lam, bound, fx = certify_solution(
+        meas, R, min_eig_tol=args.min_eig_tol, dtype=jnp.float64)
+    print(json.dumps({
+        "certified": bool(ok), "lambda_min": float(lam),
+        "suboptimality_bound_2x": 2 * float(bound), "fxhat_2x": 2 * float(fx),
+        "polished_2f": polished_2f, "polish_iters": args.polish_iters,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -91,11 +91,33 @@ def main():
         dt = time.time() - t_start
         cert = ""
         if certify and loss is Loss.TRIVIAL:
-            from dpgo_tpu.sesync.staircase import certify_solution
             t_g, R_g = map(np.asarray, s.gather_global(st))
-            ok, lam, bound, fx = certify_solution(meas, R_g,
-                                                  dtype=jnp.float64)
-            cert = f"lam_min={lam:.2e} {'CERT' if ok else 'uncert'}"
+            if args.platform == "cpu":
+                from dpgo_tpu.sesync.staircase import certify_solution
+                ok, lam, bound, fx = certify_solution(meas, R_g,
+                                                      dtype=jnp.float64)
+                cert = f"lam_min={lam:.2e} {'CERT' if ok else 'uncert'}"
+            else:
+                # A TPU process cannot compute f64; certify in a CPU-f64
+                # subprocess, polishing away the estimate's f32-level
+                # stationarity defect first (tools/certify_estimate.py —
+                # the automated hybrid-precision recipe).
+                import json
+                import subprocess
+                import tempfile
+                with tempfile.NamedTemporaryFile(suffix=".npz") as fh:
+                    np.savez(fh.name, t=t_g, R=R_g)
+                    env = dict(os.environ, JAX_PLATFORMS="cpu")
+                    out = subprocess.run(
+                        [sys.executable,
+                         os.path.join(REPO, "tools", "certify_estimate.py"),
+                         "--dataset", path, "--npz", fh.name,
+                         "--num_nodes", str(nodes)],
+                        capture_output=True, text=True, env=env)
+                res = json.loads(out.stdout.strip().splitlines()[-1])
+                cert = (f"lam_min={res['lambda_min']:.2e} "
+                        f"{'CERT' if res['certified'] else 'uncert'} "
+                        f"(f64-polished {res['polish_iters']} it)")
         row = (name, os.path.basename(dataset), nodes, iters, float(f0),
                float(f1), float(g1), dt,
                " ".join(x for x in (pcm_note, cert) if x))
