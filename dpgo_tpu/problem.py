@@ -225,6 +225,40 @@ class NodeProblem:
             f = f + 0.25 * jnp.sum(loss_value(self.loss, s, self.loss_reg))
         return f
 
+    def surrogate_g_f_fobj(self, state: NodeState):
+        """(g, f, fobj) with the residual halves computed ONCE — the fused
+        form update_state needs every iteration (surrogate_g_f + local_fobj
+        separately would gather the edge arrays twice)."""
+        (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
+        u = u_s + u_o
+        E = E_s + E_o
+        s = jnp.sum(u * u, -1) + jnp.sum(E * E, (-1, -2))
+        rt, rR = self.intra_residuals(state.t, state.R)
+        f_intra = 0.5 * (jnp.sum(rt * rt) + jnp.sum(rR * rR))
+        if self.loss is Loss.TRIVIAL:
+            g_t, g_R = self.apply_A_self_T(u_o - u_s, E_o - E_s)
+            g_t = g_t - self.xi * state.t
+            g_R = g_R - self.xi * state.R
+            du = u_s - u_o
+            dE = E_s - E_o
+            f = 0.25 * (jnp.sum(du * du) + jnp.sum(dE * dE)) \
+                + 0.5 * self.xi * (jnp.sum(state.t * state.t)
+                                   + jnp.sum(state.R * state.R))
+            fobj = f_intra + 0.25 * jnp.sum(s)
+            return (g_t, g_R), f, fobj
+        w = loss_weight(self.loss, s, self.loss_reg)
+        sw = self.scale_w
+        g_t, g_R = self.apply_A_self_T(
+            w[:, None] * u - 2.0 * sw[:, None] * u_s,
+            w[:, None, None] * E - 2.0 * sw[:, None, None] * E_s)
+        g_t = g_t - self.xi * state.t
+        g_R = g_R - self.xi * state.R
+        fobj = f_intra \
+            + 0.25 * jnp.sum(loss_value(self.loss, s, self.loss_reg))
+        f = fobj - 0.5 * self.G_quad(state.t, state.R) \
+            - jnp.sum(g_t * state.t) - jnp.sum(g_R * state.R)
+        return (g_t, g_R), f, fobj
+
     def surrogate_g_f(self, state: NodeState):
         """Linear term g = (g_t, g_R) and constant f of G^a(.|Z).
 

@@ -174,15 +174,15 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
 
     def per_node(p: NodeProblem, Z: NodeState, Z_prev: NodeState, Gk):
         from dpgo_tpu.losses import Loss
-        g, f_anchor = p.surrogate_g_f(Z)
         if first or p.loss is not Loss.TRIVIAL or not telescoped:
-            # Robust kernels: evaluate the node objective directly (the
-            # reference telescopes through Q + E-gradient bookkeeping,
+            # Robust kernels / f32: evaluate the node objective directly
+            # (the reference telescopes through Q + E-gradient bookkeeping,
             # evaluate_g_and_f, DPGOProblem.cpp:360-424; a direct edge-wise
-            # evaluation is exact and cheaper here).
-            fobj = p.local_fobj(Z)
-            f = f_anchor
+            # evaluation is exact and cheaper here), fused with the
+            # surrogate anchors so the edge arrays are gathered once.
+            g, f, fobj = p.surrogate_g_f_fobj(Z)
         else:
+            g, _ = p.surrogate_g_f(Z)
             dZ = jax.tree.map(lambda a, b: a - b, Z, Z_prev)
             fobj = Gk + p.q_gap(dZ)
             f = fobj + p.p_form(Z)

@@ -76,8 +76,7 @@ def update_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     Nesterov gamma (DPGOStar.cpp:309-391)."""
 
     def per_node(p: NodeProblem, Z: NodeState):
-        g, f = p.surrogate_g_f(Z)
-        fobj = p.local_fobj(Z)
+        g, f, fobj = p.surrogate_g_f_fobj(Z)
         Df = p.euclidean_Df(Z, g=g)
         grad_t, grad_R = Df[0], proj_tangent(Z.R, Df[1])
         gradnorm = jnp.sqrt(jnp.sum(grad_t * grad_t)

@@ -354,3 +354,29 @@ def test_evaluate_G_relative_form(rng):
                        - _eval_G_batch(s.probs, st, yt, yR))
     d_abs = np.asarray(absG(xt, xR) - absG(yt, yR))
     np.testing.assert_allclose(d_rel, d_abs, rtol=1e-7, atol=1e-10)
+
+
+def test_surrogate_g_f_fobj_fused(rng):
+    """Fused (g, f, fobj) equals the separate surrogate_g_f + local_fobj."""
+    from dpgo_tpu.losses import Loss
+    from dpgo_tpu.graph import build_multigraph
+    from dpgo_tpu.problem import build_node_problems, NodeState
+    import jax
+    meas, _, _ = random_pose_graph(rng, num_poses=24, d=3, loop_closures=12)
+    _, _, mg = build_multigraph(meas, 3)
+    for loss in (Loss.TRIVIAL, Loss.HUBER):
+        probs = build_node_problems(mg, loss=loss, loss_reg=0.5)
+        t = rng.normal(size=(3, mg.n0_max, 3))
+        R = np.linalg.qr(rng.normal(size=(3, mg.n0_max, 3, 3)))[0]
+        th = rng.normal(size=(3, mg.n1_max, 3))
+        Rh = np.linalg.qr(rng.normal(size=(3, mg.n1_max, 3, 3)))[0]
+        Z = NodeState(t=jnp.asarray(t), R=jnp.asarray(R),
+                      th=jnp.asarray(th), Rh=jnp.asarray(Rh))
+        def one(p, z):
+            g, f, fobj = p.surrogate_g_f_fobj(z)
+            g2, f2 = p.surrogate_g_f(z)
+            fobj2 = p.local_fobj(z)
+            return (g[0] - g2[0], g[1] - g2[1], f - f2, fobj - fobj2)
+        outs = jax.vmap(one)(probs, Z)
+        for o in outs:
+            np.testing.assert_allclose(np.asarray(o), 0.0, atol=1e-10)
