@@ -1,0 +1,88 @@
+"""TPU smoke suite: assertions that must hold on the real chip.
+
+The pytest suite runs on CPU; this tool re-checks the TPU-specific hazards
+(bf16 matmul passes, f32 restart comparisons, the dynamic-rescale
+embedded-constants miscompile we guard against in driver._embed_consts)
+on actual hardware. Exits nonzero on any failure.
+
+Usage: PYTHONPATH=/root/.axon_site:/root/repo python tools/tpu_smoke.py
+"""
+
+import os
+import sys
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dpgo_jax_cache")
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp
+import numpy as np
+
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.driver import DPGOSolver
+from dpgo_tpu.losses import Loss
+from dpgo_tpu.solvers.mm import MMOptions
+
+DATA = "/root/reference/dataset"
+failures = []
+
+
+def check(name, cond, detail=""):
+    status = "ok" if cond else "FAIL"
+    print(f"{name}: {status} {detail}", flush=True)
+    if not cond:
+        failures.append(name)
+
+
+def run(meas, nodes, opts, iters, **kw):
+    s = DPGOSolver(meas, num_nodes=nodes, opts=opts, dtype=jnp.float32, **kw)
+    st = s.initialize()
+    st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), iters)
+    f, g = map(float, s._metrics(st))
+    return f, g
+
+
+def main():
+    assert jax.devices()[0].platform != "cpu", "run this on the TPU"
+
+    # 1. sphere2500 8-node AMM to the certified gap.
+    meas = read_g2o_file(os.path.join(DATA, "sphere2500.g2o"))
+    f, g = run(meas, 8, MMOptions(accelerated=True), 150)
+    check("sphere2500 amm f32", f / 1687.005814 - 1 < 1e-4,
+          f"2f={f:.4f} (cert 1687.0058)")
+
+    # 2. huber + dynamic rescale (the embedded-constants miscompile class).
+    meas = read_g2o_file(os.path.join(DATA, "CSAIL.g2o"))
+    f, g = run(meas, 4, MMOptions(accelerated=True, rescale="dynamic"), 150,
+               loss=Loss.HUBER, loss_reg=0.25)
+    # CPU f64 reference value for this config is ~28.6; divergence mode
+    # produced 1379 (see driver._embed_consts note).
+    check("CSAIL huber+dynamic f32", 25.0 < f < 30.0, f"2f={f:.4f}")
+
+    # 3. single-node f32 (null-space translation solve regression).
+    f, g = run(meas, 1, MMOptions(accelerated=False), 300)
+    check("CSAIL single-node mm f32", f < 31.75, f"2f={f:.4f}")
+
+    # 4. star solver on TPU.
+    from dpgo_tpu.driver import DPGOStarSolver
+    s = DPGOStarSolver(meas, num_nodes=4, opts=MMOptions(accelerated=True),
+                       dtype=jnp.float32)
+    st = s.initialize()
+    st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 100)
+    f, g = map(float, s._metrics(st))
+    check("CSAIL amm* f32", f < 31.75, f"2f={f:.4f}")
+
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("all TPU smoke checks passed")
+
+
+if __name__ == "__main__":
+    main()
