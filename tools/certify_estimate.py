@@ -41,31 +41,43 @@ def main():
 
     import jax.numpy as jnp
     from dpgo_tpu.io.g2o import read_g2o_file
-    from dpgo_tpu.driver import DPGOSolver
-    from dpgo_tpu.solvers.mm import MMOptions
-    from dpgo_tpu.sesync.staircase import certify_solution
+    from dpgo_tpu.sesync.staircase import SESyncOpts, certify_solution, sesync
 
     meas = read_g2o_file(args.dataset)
     data = np.load(args.npz)
     t, R = data["t"], data["R"]
 
-    polished_2f = None
     if args.polish_iters > 0:
-        s = DPGOSolver(meas, num_nodes=args.num_nodes,
-                       opts=MMOptions(accelerated=True), dtype=jnp.float64)
-        st = s.initialize(t=t, R=R)
-        st, _ = s.run_steps(st, jnp.zeros((), jnp.int32),
-                            args.polish_iters)
-        f, _ = s._metrics(st)
-        polished_2f = float(f)
-        t, R = map(np.asarray, s.gather_global(st))
+        # The residual-honest certificate charges the estimate's
+        # stationarity defect, so an AMM tail (slow near the optimum) never
+        # gets tight enough: polish by warm-starting the SE-Sync staircase
+        # (f64 TNT to 1e-6 gradient) from the estimate's rotations, then
+        # the staircase's own certificate applies.
+        n, d = meas.num_poses, meas.d
+        Y0 = np.swapaxes(np.asarray(R, np.float64), 1, 2).reshape(n * d, d)
+        res = sesync(meas, SESyncOpts(min_eig_tol=args.min_eig_tol),
+                     Y0=Y0)
+        from dpgo_tpu.objective import EdgeData, evaluate_f
+        edges = EdgeData.from_measurements(meas, dtype=jnp.float64)
+        raw_2f = 2 * float(evaluate_f(edges, jnp.asarray(t, jnp.float64),
+                                      jnp.asarray(R, jnp.float64)))
+        print(json.dumps({
+            "certified": res.status == "GlobalOpt",
+            "lambda_min": float(res.lambda_min),
+            "suboptimality_bound_2x": 2 * float(res.suboptimality_bound),
+            "fxhat_2x": 2 * float(res.fxhat),
+            "raw_estimate_2f": raw_2f,
+            "raw_rel_gap": raw_2f / (2 * res.fxhat) - 1.0,
+            "polish": "sesync-staircase-warmstart",
+        }))
+        return
 
     ok, lam, bound, fx = certify_solution(
         meas, R, min_eig_tol=args.min_eig_tol, dtype=jnp.float64)
     print(json.dumps({
         "certified": bool(ok), "lambda_min": float(lam),
         "suboptimality_bound_2x": 2 * float(bound), "fxhat_2x": 2 * float(fx),
-        "polished_2f": polished_2f, "polish_iters": args.polish_iters,
+        "polish": None,
     }))
 
 

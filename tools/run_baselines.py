@@ -117,7 +117,7 @@ def main():
                 res = json.loads(out.stdout.strip().splitlines()[-1])
                 cert = (f"lam_min={res['lambda_min']:.2e} "
                         f"{'CERT' if res['certified'] else 'uncert'} "
-                        f"(f64-polished {res['polish_iters']} it)")
+                        f"(f64 staircase polish)")
         # Relative gap to the certified global optimum (when the dataset is
         # in the catalog and the loss is trivial, so objectives compare).
         gap = ""
