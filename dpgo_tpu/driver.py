@@ -242,10 +242,17 @@ class DPGOSolver:
                                  num_steps: int):
         """Scan `num_steps` iterations recording (2f, 2|grad|) per step on
         device (no host polling — the reference driver's per-iteration metric
-        series, dist_pgo.cpp:523-530)."""
+        series, dist_pgo.cpp:523-530).
+
+        The per-step values come free from the state update_state already
+        computed: node objectives sum to the exact global objective (inter
+        edges are split half/half between endpoints) and each block's
+        gradient of the GLOBAL objective is computed exactly once per node,
+        so the global gradient norm is the rms over nodes."""
         def body(carry, i):
             stn = self._step_impl(probs, carry, k0 + i)
-            f, g = self._metrics_impl(stn)
+            f = 2.0 * jnp.sum(stn.fobj)
+            g = 2.0 * jnp.sqrt(jnp.sum(stn.gradFnorm * stn.gradFnorm))
             return stn, (f, g)
 
         st, hist = jax.lax.scan(body, st,

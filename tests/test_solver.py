@@ -112,7 +112,13 @@ def test_device_scan_matches_per_step(rng):
     np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
     st_c, _, (fh, gh) = s.run_steps_history(st, jnp.zeros((), jnp.int32), 10)
     assert fh.shape == (10,)
-    np.testing.assert_array_equal(np.asarray(fh[-1]), np.asarray(fb))
+    # History metrics come from the per-node state (sum of node objectives /
+    # rms of node gradients) — equal to the global edge-sum oracle up to
+    # rounding.
+    np.testing.assert_allclose(np.asarray(fh[-1]), np.asarray(fb),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(gh[-1]), np.asarray(gb),
+                               rtol=1e-8, atol=1e-12)
 
 
 def test_local_gauge_invariance():
