@@ -57,6 +57,12 @@ def main(argv=None):
                          "chordal init (hybrid-precision recipe: bulk "
                          "iterations on TPU f32, then a CPU f64 run with "
                          "--init_from to polish past the f32 floor)")
+    ap.add_argument("--polish", type=int, default=0, metavar="OUTER",
+                    help="after the MM iterations, run OUTER global "
+                         "Riemannian trust-region iterations on the coupled "
+                         "problem (solvers/polish.py) — collapses the "
+                         "long MM tail to the optimum superlinearly")
+    ap.add_argument("--polish_tcg", type=int, default=500)
     args = ap.parse_args(argv)
 
     import jax
@@ -129,6 +135,14 @@ def main(argv=None):
         if args.checkpoint and k % args.checkpoint_every == 0:
             from dpgo_tpu.checkpoint import save_state
             save_state(args.checkpoint, st, k, gauge_c=solver._c)
+
+    if args.polish > 0:
+        t_start = time.perf_counter()
+        st, _ = solver.polish(st, outer=args.polish, tcg=args.polish_tcg)
+        elapsed += time.perf_counter() - t_start
+        f, g = solver._metrics(st)
+        rows.append((k, elapsed, float(f), float(g)))
+        print(f"polish({args.polish}): {float(f):.20g} {float(g):.20g}")
 
     print("---------------------------------------")
     print(f"final objective: {rows[-1][2]}")

@@ -198,7 +198,7 @@ class DPGOSolver:
         # catastrophic cancellation in t_i - t_j scales with |t|).
         t = t - np.asarray(t).mean(axis=0, keepdims=True)
         self._set_gauge(t)
-        st = init_state(self.probs, self.pack_global(t, R))
+        st = init_state(self.probs, self.pack_global(t, R), self.opts)
         st = communicate(st, self.halo_owner, self.halo_lpose, self.halo_dc)
         st = st._replace(Z_prev=st.Z)
         return self._first_update(self.probs, st)
@@ -207,8 +207,11 @@ class DPGOSolver:
 
     def _step_impl(self, probs: NodeProblem, st: MMState, k):
         probs_w = mm_mod.reweighted_problems(probs, st, self.opts)
-        if self.opts.accelerated:
+        scheme = mm_mod.resolve_scheme(self.opts)
+        if scheme == "amm":
             st = mm_mod.iterate_amm(probs_w, st, self.opts, k)
+        elif scheme == "aa":
+            st = mm_mod.iterate_aa(probs_w, st, self.opts, k)
         else:
             st = mm_mod.iterate_mm(probs_w, st, self.opts, k)
         st = communicate(st, self.halo_owner, self.halo_lpose, self.halo_dc)
@@ -270,6 +273,26 @@ class DPGOSolver:
         f = evaluate_f(self.edges, t, R, self.loss, self.loss_reg)
         g = grad_norm(self.edges, t, R, self.loss, self.loss_reg)
         return 2.0 * f, 2.0 * g
+
+    def polish(self, st: MMState, outer: int = 20, tcg: int = 500):
+        """Global second-order tail polish: gather the full pose state, run
+        Riemannian TNT on the coupled problem (solvers/polish.py — one halo
+        exchange per CG iteration, cheap on-device), and re-anchor the solver
+        state at the result. Returns (state, 2*f_value)."""
+        from dpgo_tpu.solvers import polish as polish_mod
+        key = (outer, tcg)
+        if getattr(self, "_polish_jits", None) is None:
+            self._polish_jits = {}
+        if key not in self._polish_jits:
+            params = polish_mod.polish_params(outer=outer, tcg=tcg)
+            self._polish_jits[key] = jax.jit(
+                partial(polish_mod.polish_global, self.edges,
+                        loss=self.loss, loss_reg=self.loss_reg,
+                        params=params))
+        t, R = self.gather_global(st)
+        t2, R2, fx = self._polish_jits[key](t, R)
+        st2 = self.initialize(np.asarray(t2), np.asarray(R2))
+        return st2, 2.0 * float(fx)
 
     def node_stats(self, st: MMState) -> dict:
         """Per-node observability snapshot (the reference's DPGOResult

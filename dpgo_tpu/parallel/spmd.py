@@ -210,8 +210,11 @@ class ShardedDPGOSolver(DPGOSolver):
                  out_specs=nspec, check_vma=False)
         def step(probs_l, st_l, owner_l, lpose_l, slot_l, bnd_l, dc_l, kk):
             probs_w = mm_mod.reweighted_problems(probs_l, st_l, opts)
-            if opts.accelerated:
+            scheme = mm_mod.resolve_scheme(opts)
+            if scheme == "amm":
                 st2 = mm_mod.iterate_amm(probs_w, st_l, opts, kk)
+            elif scheme == "aa":
+                st2 = mm_mod.iterate_aa(probs_w, st_l, opts, kk)
             else:
                 st2 = mm_mod.iterate_mm(probs_w, st_l, opts, kk)
             th, Rh = self._exchange(st2.Z.t, st2.Z.R, owner_l,
