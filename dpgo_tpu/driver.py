@@ -274,23 +274,68 @@ class DPGOSolver:
         g = grad_norm(self.edges, t, R, self.loss, self.loss_reg)
         return 2.0 * f, 2.0 * g
 
-    def polish(self, st: MMState, outer: int = 20, tcg: int = 500):
+    def _node_block_precondition(self, probs: NodeProblem):
+        """Node-block surrogate preconditioner for the global polish: per
+        node, the exact split-inverse mG00 solve for translations and the
+        dense regularized mG11 inverse (the STPCG RegularizedCholesky role)
+        for rotations. Block-diagonal over nodes -> SPD; collapses intra-node
+        conditioning exactly, leaving CG only the inter-node coupling."""
+        from dpgo_tpu.manifold import proj_tangent
+        mg = self.mg
+        P = self.meas.num_poses
+        gidx = jnp.asarray(np.minimum(
+            np.asarray(mg.start)[:, None] + np.arange(mg.n0_max)[None, :],
+            P - 1), jnp.int32)
+        mask = jnp.asarray(np.arange(mg.n0_max)[None, :]
+                           < np.asarray(mg.n0)[:, None])
+
+        def precondition(x, v):
+            vt, vR = v
+            tn = jnp.where(mask[..., None], vt[gidx], 0.0)
+            Rn = jnp.where(mask[..., None, None], vR[gidx], 0.0)
+
+            def per_node(p, tn_a, Rn_a):
+                if p.dense:
+                    Rp = p.from_tall(jnp.matmul(p.precon_dense,
+                                                p.to_tall(Rn_a)))
+                else:
+                    Rp = jnp.einsum("pab,pbc->pac", Rn_a, p.precon_inv)
+                tp = p.solve_mG00(tn_a, t_anchor=jnp.zeros_like(tn_a))
+                return tp, Rp
+
+            tp, Rp = jax.vmap(per_node)(probs, tn, Rn)
+            out_t = tp[self.node_of, self.local_of]
+            out_R = Rp[self.node_of, self.local_of]
+            return out_t, proj_tangent(x[1], out_R)
+
+        return precondition
+
+    def polish(self, st: MMState, outer: int = 20, tcg: int = 500,
+               node_precon: bool = True):
         """Global second-order tail polish: gather the full pose state, run
         Riemannian TNT on the coupled problem (solvers/polish.py — one halo
         exchange per CG iteration, cheap on-device), and re-anchor the solver
         state at the result. Returns (state, 2*f_value)."""
         from dpgo_tpu.solvers import polish as polish_mod
-        key = (outer, tcg)
+        key = (outer, tcg, node_precon)
         if getattr(self, "_polish_jits", None) is None:
             self._polish_jits = {}
         if key not in self._polish_jits:
             params = polish_mod.polish_params(outer=outer, tcg=tcg)
-            self._polish_jits[key] = jax.jit(
-                partial(polish_mod.polish_global, self.edges,
-                        loss=self.loss, loss_reg=self.loss_reg,
-                        params=params))
+
+            # probs is a jit ARGUMENT so the (possibly ~100 MB) problem
+            # arrays are never embedded in the lowered HLO (tunnel 413).
+            def impl(probs, t, R):
+                precon = (self._node_block_precondition(probs)
+                          if node_precon else None)
+                return polish_mod.polish_global(
+                    self.edges, t, R, loss=self.loss,
+                    loss_reg=self.loss_reg, params=params,
+                    precondition=precon)
+
+            self._polish_jits[key] = jax.jit(impl)
         t, R = self.gather_global(st)
-        t2, R2, fx = self._polish_jits[key](t, R)
+        t2, R2, fx = self._polish_jits[key](self.probs, t, R)
         st2 = self.initialize(np.asarray(t2), np.asarray(R2))
         return st2, 2.0 * float(fx)
 

@@ -33,9 +33,14 @@ from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt_generic
 
 
 def global_tnt_model(edges: EdgeData, loss: Loss = Loss.TRIVIAL,
-                     loss_reg: float = 1.0, num_poses: int | None = None
-                     ) -> TNTModel:
-    """TNTModel over the global variable x = (t [P, d], R [P, d, d])."""
+                     loss_reg: float = 1.0, num_poses: int | None = None,
+                     precondition=None) -> TNTModel:
+    """TNTModel over the global variable x = (t [P, d], R [P, d, d]).
+
+    `precondition(x, v) -> v'` overrides the built-in per-pose Jacobi
+    preconditioner (driver.polish passes the node-block surrogate
+    preconditioner — exact per-node mG00 solves + the dense regularized
+    mG11 inverse — which collapses intra-node conditioning exactly)."""
 
     def objective(x):
         return evaluate_f(edges, x[0], x[1], loss, loss_reg)
@@ -63,19 +68,20 @@ def global_tnt_model(edges: EdgeData, loss: Loss = Loss.TRIVIAL,
     # Laplacian diagonal scale kappa (+ tau |t~|^2 on the i side). A scalar
     # per pose is enough to equalize the wildly varying edge precisions
     # (tau/kappa span ~6 decades across the bundled datasets).
-    P = num_poses if num_poses is not None else int(jnp.max(edges.j)) + 1
-    tnorm2 = jnp.sum(edges.t * edges.t, axis=-1)
-    wt = (jnp.zeros((P,), edges.tau.dtype)
-          .at[edges.i].add(edges.tau).at[edges.j].add(edges.tau))
-    wR = (jnp.zeros((P,), edges.tau.dtype)
-          .at[edges.i].add(edges.kappa + edges.tau * tnorm2)
-          .at[edges.j].add(edges.kappa))
-    wt = jnp.maximum(wt, 1e-12)
-    wR = jnp.maximum(wR, 1e-12)
+    if precondition is None:
+        P = num_poses if num_poses is not None else int(jnp.max(edges.j)) + 1
+        tnorm2 = jnp.sum(edges.t * edges.t, axis=-1)
+        wt = (jnp.zeros((P,), edges.tau.dtype)
+              .at[edges.i].add(edges.tau).at[edges.j].add(edges.tau))
+        wR = (jnp.zeros((P,), edges.tau.dtype)
+              .at[edges.i].add(edges.kappa + edges.tau * tnorm2)
+              .at[edges.j].add(edges.kappa))
+        wt = jnp.maximum(wt, 1e-12)
+        wR = jnp.maximum(wR, 1e-12)
 
-    def precondition(x, v):
-        return (v[0] / wt[:, None],
-                proj_tangent(x[1], v[1] / wR[:, None, None]))
+        def precondition(x, v):
+            return (v[0] / wt[:, None],
+                    proj_tangent(x[1], v[1] / wR[:, None, None]))
 
     def retract(x, h):
         return (x[0] + h[0], project_sod(x[1] + h[1]))
@@ -100,13 +106,14 @@ def polish_params(outer: int = 20, tcg: int = 500,
 
 def polish_global(edges: EdgeData, t: jnp.ndarray, R: jnp.ndarray,
                   loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
-                  params: TNTParams | None = None):
+                  params: TNTParams | None = None, precondition=None):
     """Run the global trust-region polish from (t, R).
 
     Returns (t, R, f_value). Jittable; the caller picks device/dtype by the
     input arrays.
     """
     params = params or polish_params()
-    model = global_tnt_model(edges, loss, loss_reg, num_poses=t.shape[0])
+    model = global_tnt_model(edges, loss, loss_reg, num_poses=t.shape[0],
+                             precondition=precondition)
     x, fx, _, _ = tnt_generic(model, (t, R), params)
     return x[0], x[1], fx
