@@ -226,9 +226,16 @@ class NodeProblem:
         return f
 
     def surrogate_g_f_fobj(self, state: NodeState):
-        """(g, f, fobj) with the residual halves computed ONCE — the fused
-        form update_state needs every iteration (surrogate_g_f + local_fobj
-        separately would gather the edge arrays twice)."""
+        g, f, fobj, _ = self.surrogate_g_f_fobj_res(state)
+        return g, f, fobj
+
+    def surrogate_g_f_fobj_res(self, state: NodeState):
+        """(g, f, fobj, zres) with the residual halves computed ONCE — the
+        fused form update_state needs every iteration (surrogate_g_f +
+        local_fobj separately would gather the edge arrays twice). The
+        returned anchor residuals zres = ((rt, rR), (u_s, E_s)) are cached in
+        the solver state so the next iterate's evaluate_G_rel calls skip the
+        anchor pass entirely."""
         (u_s, E_s), (u_o, E_o) = self.inter_halves(state)
         u = u_s + u_o
         E = E_s + E_o
@@ -245,7 +252,7 @@ class NodeProblem:
                 + 0.5 * self.xi * (jnp.sum(state.t * state.t)
                                    + jnp.sum(state.R * state.R))
             fobj = f_intra + 0.25 * jnp.sum(s)
-            return (g_t, g_R), f, fobj
+            return (g_t, g_R), f, fobj, ((rt, rR), (u_s, E_s))
         w = loss_weight(self.loss, s, self.loss_reg)
         sw = self.scale_w
         g_t, g_R = self.apply_A_self_T(
@@ -257,7 +264,7 @@ class NodeProblem:
             + 0.25 * jnp.sum(loss_value(self.loss, s, self.loss_reg))
         f = fobj - 0.5 * self.G_quad(state.t, state.R) \
             - jnp.sum(g_t * state.t) - jnp.sum(g_R * state.R)
-        return (g_t, g_R), f, fobj
+        return (g_t, g_R), f, fobj, ((rt, rR), (u_s, E_s))
 
     def surrogate_g_f(self, state: NodeState):
         """Linear term g = (g_t, g_R) and constant f of G^a(.|Z).
@@ -391,6 +398,49 @@ class NodeProblem:
         g_t, g_R = g
         lin = jnp.sum(g_t * (xt - zt)) + jnp.sum(g_R * (xR - zR))
         return fobj + 0.5 * dq + lin
+
+    def evaluate_G_rel_pair(self, zt, zR, t1, t2, xR, g, fobj, zres):
+        """Two evaluate_G_rel values for candidates sharing the SAME
+        rotations (the fast path's (Xakh, Xak) pair, which differ only in
+        the translation solve): all R-dependent residual work — the d x d
+        einsums, the dominant cost — is computed once."""
+        def sq_diff(aX, aZ):
+            return jnp.sum((aX - aZ) * (aX + aZ))
+
+        (rtZ, rRZ), (usZ, EsZ) = zres
+        # Shared rotation-dependent pieces.
+        Ri_at = jnp.einsum("eab,eb->ea", xR[self.a_i], self.a_t)
+        rRX = jnp.sqrt(self.a_kap)[:, None, None] * (
+            jnp.einsum("eab,ebc->eac", xR[self.a_i], self.a_R)
+            - xR[self.a_j])
+        st = jnp.sqrt(self.e_tau)
+        sk = jnp.sqrt(self.e_kap)
+        sel = self.e_self_is_i[:, None]
+        selm = self.e_self_is_i[:, None, None]
+        Rs = xR[self.e_self]
+        EsX = jnp.where(
+            selm,
+            sk[:, None, None] * jnp.einsum("eab,ebc->eac", Rs, self.e_R),
+            -sk[:, None, None] * Rs)
+        Rs_et = jnp.einsum("eab,eb->ea", Rs, self.e_t)
+        dqR = sq_diff(rRX, rRZ) + self.xi * sq_diff(xR, zR) + 2.0 * jnp.sum(
+            self.scale_w * jnp.sum((EsX - EsZ) * (EsX + EsZ), (-1, -2)))
+        g_t, g_R = g
+        linR = jnp.sum(g_R * (xR - zR))
+        sqrt_tau_a = jnp.sqrt(self.a_tau)[:, None]
+
+        def t_part(xt):
+            rtX = sqrt_tau_a * (xt[self.a_i] + Ri_at - xt[self.a_j])
+            ts = xt[self.e_self]
+            usX = jnp.where(sel, st[:, None] * (ts + Rs_et),
+                            -st[:, None] * ts)
+            dq = sq_diff(rtX, rtZ) + self.xi * sq_diff(xt, zt) \
+                + 2.0 * jnp.sum(self.scale_w
+                                * jnp.sum((usX - usZ) * (usX + usZ), -1))
+            return dq + 2.0 * jnp.sum(g_t * (xt - zt))
+
+        base = fobj + 0.5 * dqR + linR
+        return base + 0.5 * t_part(t1), base + 0.5 * t_part(t2)
 
     def evaluate_G(self, t, R, g, f) -> jnp.ndarray:
         """G^a value = 1/2 <G X, X> + <g, X> + f (DPGOProblem.cpp:180-205)."""

@@ -130,6 +130,13 @@ class MMState(NamedTuple):
     # Dynamic rescale (robust losses): persisted surrogate weights + counter.
     scale_w: jnp.ndarray       # [N, m1]
     rescale_count: jnp.ndarray  # [N] int32
+    # Anchor residual halves at Z, cached by update_state (computed there
+    # anyway) so iterate's several evaluate_G_rel calls against the same Z
+    # skip the anchor pass: ((z_rt, z_rR), (z_us, z_Es)) = zres.
+    z_rt: jnp.ndarray       # [N, m0, d]
+    z_rR: jnp.ndarray       # [N, m0, d, d]
+    z_us: jnp.ndarray       # [N, m1, d]
+    z_Es: jnp.ndarray       # [N, m1, d, d]
     # Anderson acceleration history (scheme="aa"; zero-sized otherwise).
     aa_dX: jnp.ndarray      # [N, m, D] iterate diffs, newest last
     aa_dR: jnp.ndarray      # [N, m, D] residual diffs, newest last
@@ -157,6 +164,7 @@ def init_state(probs: NodeProblem, Z: NodeState,
     m = opts.aa_window if (opts is not None
                            and resolve_scheme(opts) == "aa") else 0
     D = Z.t[0].size + Z.R[0].size if m else 0
+    d = Z.t.shape[-1]
     return MMState(
         Z=Z, Z_prev=Z,
         g_t=jnp.zeros_like(Z.t), g_R=jnp.zeros_like(Z.R),
@@ -173,6 +181,10 @@ def init_state(probs: NodeProblem, Z: NodeState,
         num_osc=jnp.zeros((N,), jnp.int32),
         scale_w=jnp.ones_like(probs.scale_w),
         rescale_count=jnp.zeros((N,), jnp.int32),
+        z_rt=jnp.zeros(probs.a_i.shape + (d,), Z.t.dtype),
+        z_rR=jnp.zeros(probs.a_i.shape + (d, d), Z.t.dtype),
+        z_us=jnp.zeros(probs.e_self.shape + (d,), Z.t.dtype),
+        z_Es=jnp.zeros(probs.e_self.shape + (d, d), Z.t.dtype),
         aa_dX=jnp.zeros((N, m, D), Z.t.dtype),
         aa_dR=jnp.zeros((N, m, D), Z.t.dtype),
         aa_x_prev=jnp.zeros((N, D), Z.t.dtype),
@@ -229,19 +241,20 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
             # evaluate_g_and_f, DPGOProblem.cpp:360-424; a direct edge-wise
             # evaluation is exact and cheaper here), fused with the
             # surrogate anchors so the edge arrays are gathered once.
-            g, f, fobj = p.surrogate_g_f_fobj(Z)
+            g, f, fobj, zres = p.surrogate_g_f_fobj_res(Z)
         else:
             g, _ = p.surrogate_g_f(Z)
             dZ = jax.tree.map(lambda a, b: a - b, Z, Z_prev)
             fobj = Gk + p.q_gap(dZ)
             f = fobj + p.p_form(Z)
+            zres = p.anchor_residuals(Z.t, Z.R)
         Df = p.euclidean_Df(Z, g=g)
         grad_t, grad_R = Df[0], proj_tangent(Z.R, Df[1])
         gradnorm = jnp.sqrt(jnp.sum(grad_t * grad_t)
                             + jnp.sum(grad_R * grad_R))
-        return g[0], g[1], f, fobj, Df[0], Df[1], gradnorm
+        return g[0], g[1], f, fobj, Df[0], Df[1], gradnorm, zres
 
-    g_t, g_R, f, fobj, Df_t, Df_R, gradFnorm = jax.vmap(per_node)(
+    g_t, g_R, f, fobj, Df_t, Df_R, gradFnorm, zres = jax.vmap(per_node)(
         probs, st.Z, st.Z_prev, st.Gk)
 
     if first:
@@ -296,6 +309,7 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
         Gk=Gk, Fk0=Fk0, Fk1=Fk1,
         s=s0, s_next=s1, gamma=gamma,
         hits0=hits0, hits1=hits1, osc_buf=osc_buf, num_osc=num_osc,
+        z_rt=zres[0][0], z_rR=zres[0][1], z_us=zres[1][0], z_Es=zres[1][1],
     )
 
 
@@ -413,8 +427,17 @@ def _eval_G_batch(probs, st: MMState, t, R, zres=None):
 
 
 def _anchor_residuals_batch(probs, st: MMState):
-    return jax.vmap(lambda p, zt, zR: p.anchor_residuals(zt, zR))(
-        probs, st.Z.t, st.Z.R)
+    """Anchor residuals at Z — cached in the state by update_state (which
+    evaluates the same Z at the end of the previous step)."""
+    return ((st.z_rt, st.z_rR), (st.z_us, st.z_Es))
+
+
+def _eval_G_pair_batch(probs, st: MMState, t1, t2, R, zres):
+    """(G(t1, R | Z), G(t2, R | Z)) with the rotation work shared."""
+    return jax.vmap(lambda p, zt, zR, fo, gt, gR, a, b, xR, zr:
+                    p.evaluate_G_rel_pair(zt, zR, a, b, xR, (gt, gR), fo,
+                                          zres=zr))(
+        probs, st.Z.t, st.Z.R, st.fobj, st.g_t, st.g_R, t1, t2, R, zres)
 
 
 def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
@@ -453,7 +476,6 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
     th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
         probs, Y, Df_t_ex, Df_R_ex)
     zres = _anchor_residuals_batch(probs, st)
-    Gkh = _eval_G_batch(probs, st, th_t, th_R, zres)
 
     diff_t = th_t - st.Z.t
     diff_R = th_R - st.Z.R
@@ -465,9 +487,18 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
     # extrapolated g (DPGOHash.cpp:369-372).
     t_c = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))(
         probs, th_R, g_t_ex, Y.t)
-    Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex, st.f,
-                                  refined, opts.tnt, Gkh, t_anchor=Y.t)
-    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
+    tnt_off = (opts.tnt.max_iterations <= 0
+               or opts.tnt.max_iterations_accepted <= 0)
+    if tnt_off:
+        # Xakh and Xak share rotations: one fused pair evaluation.
+        Gkh, Gk = _eval_G_pair_batch(probs, st, th_t, t_c, th_R, zres)
+        Xak_t, Xak_R = t_c, th_R
+    else:
+        Gkh = _eval_G_batch(probs, st, th_t, th_R, zres)
+        Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex,
+                                      st.f, refined, opts.tnt, Gkh,
+                                      t_anchor=Y.t)
+        Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     # Exceptional-path cascade (DPGOHash.cpp:386-441): the proximal retry,
     # the adaptive hard/soft restarts, and the phi-test fallback. All three
@@ -558,10 +589,11 @@ def iterate_mm(probs: NodeProblem, st: MMState, opts: MMOptions,
         probs, st.Z, st.Df_t, st.Df_R)
     t_c = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))(
         probs, th_R, st.g_t, st.Z.t)
-    G0 = _eval_G_batch(probs, st, t_c, th_R)
+    zres = _anchor_residuals_batch(probs, st)
+    G0 = _eval_G_batch(probs, st, t_c, th_R, zres)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
                                   refined, opts.tnt, G0, t_anchor=st.Z.t)
-    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R)
+    Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)
     return st._replace(Z=Z_new, Z_prev=st.Z, Gk=Gk)

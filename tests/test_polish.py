@@ -110,6 +110,28 @@ def test_global_hessian_vp_matches_autodiff():
 
 @pytest.mark.skipif(not os.path.exists(f"{DATA}/CSAIL.g2o"),
                     reason="dataset missing")
+def test_eval_G_pair_matches_two_singles():
+    """evaluate_G_rel_pair (fast-path fusion sharing the rotation work)
+    equals two independent evaluate_G_rel calls."""
+    from dpgo_tpu.solvers.mm import (_anchor_residuals_batch, _eval_G_batch,
+                                     _eval_G_pair_batch)
+    meas = read_g2o_file(f"{DATA}/CSAIL.g2o")
+    s = DPGOSolver(meas, num_nodes=4, opts=MMOptions(), dtype=jnp.float64)
+    st, _ = s.run_steps(s.initialize(), jnp.zeros((), jnp.int32), 3)
+    rng = np.random.default_rng(1)
+    t1 = st.Z.t + 0.01 * jnp.asarray(rng.normal(size=st.Z.t.shape))
+    t2 = st.Z.t + 0.01 * jnp.asarray(rng.normal(size=st.Z.t.shape))
+    R = st.Z.R
+    zres = _anchor_residuals_batch(s.probs, st)
+    Ga, Gb = _eval_G_pair_batch(s.probs, st, t1, t2, R, zres)
+    Ga1 = _eval_G_batch(s.probs, st, t1, R, zres)
+    Gb1 = _eval_G_batch(s.probs, st, t2, R, zres)
+    np.testing.assert_allclose(np.asarray(Ga), np.asarray(Ga1), rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(Gb), np.asarray(Gb1), rtol=1e-12)
+
+
+@pytest.mark.skipif(not os.path.exists(f"{DATA}/CSAIL.g2o"),
+                    reason="dataset missing")
 def test_anderson_scheme_monotone_and_converges():
     """scheme='aa': monotone global objective (the surrogate safeguard) and
     convergence to a modest gap. (Documented negative result: AA is SLOWER

@@ -96,8 +96,10 @@ def test_star_solver_matches_hash_on_easy_graph():
 
 
 def test_device_scan_matches_per_step(rng):
-    """run_steps / run_steps_history (one-dispatch device loops) reproduce the
-    per-step stepping bit-for-bit, including the restart state machine."""
+    """run_steps / run_steps_history (one-dispatch device loops) reproduce
+    the per-step stepping to rounding (separately compiled XLA programs may
+    fuse sums differently — a few f64 ulp), including the restart state
+    machine."""
     meas, _, _ = random_pose_graph(rng, num_poses=40, d=3)
     s = DPGOSolver(meas, num_nodes=3, opts=MMOptions(accelerated=True))
     st = s.initialize()
@@ -108,8 +110,9 @@ def test_device_scan_matches_per_step(rng):
     st_b, k0 = s.run_steps(st, jnp.zeros((), jnp.int32), 10)
     fb, gb = s._metrics(st_b)
     assert int(k0) == 10
-    np.testing.assert_array_equal(np.asarray(fa), np.asarray(fb))
-    np.testing.assert_array_equal(np.asarray(ga), np.asarray(gb))
+    np.testing.assert_allclose(np.asarray(fa), np.asarray(fb), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(ga), np.asarray(gb), rtol=1e-13,
+                               atol=1e-13)
     st_c, _, (fh, gh) = s.run_steps_history(st, jnp.zeros((), jnp.int32), 10)
     assert fh.shape == (10,)
     # History metrics come from the per-node state (sum of node objectives /
