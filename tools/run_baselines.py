@@ -59,7 +59,7 @@ def main():
 
     def run_config(name, dataset, nodes, iters, accelerated=True,
                    solver="hash", loss=Loss.TRIVIAL, pcm=False,
-                   dist_init=False, certify=False):
+                   dist_init=False, certify=False, polish=0):
         path = dataset if os.path.isabs(dataset) \
             else os.path.join(DATA, dataset)
         meas = read_g2o_file(path)
@@ -88,6 +88,10 @@ def main():
         st, _ = s.run_steps(st, k0, iters)
         f1, g1 = s._metrics(st)
         float(f1)  # device_get sync
+        if polish:
+            st, _ = s.polish(st, outer=polish, tcg=150)
+            f1, g1 = s._metrics(st)
+            float(f1)
         dt = time.time() - t_start
         cert = ""
         if certify and loss is Loss.TRIVIAL:
@@ -185,6 +189,13 @@ def main():
     add(run_config("cfg5 16-node + cert", "cubicle.g2o", 16, it,
                    certify=True))
     add(run_config("cfg5 dist-init", "MITb.g2o", 4, it, dist_init=True))
+    # Global second-order polish rows (solvers/polish.py): the MM bulk phase
+    # plus a handful of coupled trust-region iterations — the long-tail
+    # collapse; secs include the polish.
+    add(run_config("sphere2500 +polish", "sphere2500.g2o", 8, it,
+                   certify=True, polish=10))
+    add(run_config("MITb +polish", "MITb.g2o", 4, it, polish=10))
+    add(run_config("city10000 +polish", "city10000.g2o", 16, it, polish=10))
 
     print(f"wrote {args.out}")
 

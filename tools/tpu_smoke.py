@@ -78,6 +78,28 @@ def main():
     f, g = map(float, s._metrics(st))
     check("CSAIL amm* f32", f < 31.75, f"2f={f:.4f}")
 
+    # 5. dynamic rescale at city10000 scale (the argument-passing jit path:
+    # probs > 80 MB, 16 nodes — exercises the with_weights scatter graph and
+    # the Woodbury-corrected translation solve on big shapes; trivial-loss
+    # certified 2f* = 638.62, so a sane robust objective lands near it).
+    meas = read_g2o_file(os.path.join(DATA, "city10000.g2o"))
+    f, g = run(meas, 16, MMOptions(accelerated=True, rescale="dynamic"),
+               150, loss=Loss.HUBER, loss_reg=0.25)
+    check("city10000 huber+dynamic f32 16-node", 550.0 < f < 700.0,
+          f"2f={f:.4f}")
+
+    # 6. global polish on TPU (f32 trust-region step + node-block
+    # preconditioner): from a 150-iteration sphere2500 bulk state the
+    # polished objective must land at f32 evaluation noise of the optimum.
+    meas = read_g2o_file(os.path.join(DATA, "sphere2500.g2o"))
+    s = DPGOSolver(meas, num_nodes=8, opts=MMOptions(accelerated=True),
+                   dtype=jnp.float32)
+    st = s.initialize()
+    st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 150)
+    st, f2x = s.polish(st, outer=6, tcg=100)
+    check("sphere2500 polish f32", abs(f2x / 1687.005814 - 1) < 2e-5,
+          f"2f={f2x:.4f}")
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
