@@ -37,6 +37,10 @@ def main():
     ap.add_argument("--num_nodes", type=int, default=8)
     ap.add_argument("--polish_iters", type=int, default=30)
     ap.add_argument("--min_eig_tol", type=float, default=1e-5)
+    ap.add_argument("--pre_polish", type=int, default=15, metavar="OUTER",
+                    help="global coupled trust-region iterations before the "
+                         "staircase warm start (0 disables)")
+    ap.add_argument("--pre_polish_tcg", type=int, default=200)
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -46,6 +50,21 @@ def main():
     meas = read_g2o_file(args.dataset)
     data = np.load(args.npz)
     t, R = data["t"], data["R"]
+
+    if args.pre_polish > 0:
+        # Global coupled trust-region polish (solvers/polish.py) in f64
+        # first: collapses the estimate's stationarity defect far faster
+        # than the staircase's block-Jacobi-preconditioned TNT would, so
+        # the warm-started staircase mostly just verifies.
+        from dpgo_tpu.driver import DPGOSolver
+        from dpgo_tpu.solvers.mm import MMOptions
+        from dpgo_tpu.solvers.tnt import TNTParams
+        s = DPGOSolver(meas, num_nodes=args.num_nodes,
+                       opts=MMOptions(tnt=TNTParams(max_iterations=0)),
+                       dtype=jnp.float64)
+        st = s.initialize(t=t, R=R)
+        st, _ = s.polish(st, outer=args.pre_polish, tcg=args.pre_polish_tcg)
+        t, R = map(np.asarray, s.gather_global(st))
 
     if args.polish_iters > 0:
         # The residual-honest certificate charges the estimate's
