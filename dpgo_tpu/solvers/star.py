@@ -51,13 +51,23 @@ class StarState(NamedTuple):
     s_next: jnp.ndarray
     gamma: jnp.ndarray
     F: jnp.ndarray  # scalar master reference
+    # Anchor residual halves at Z, cached by update_star (see mm.MMState).
+    z_rt: jnp.ndarray
+    z_rR: jnp.ndarray
+    z_us: jnp.ndarray
+    z_Es: jnp.ndarray
 
 
 def init_star_state(probs: NodeProblem, Z: NodeState,
                     global_f) -> StarState:
     N = Z.t.shape[0]
+    d = Z.t.shape[-1]
     zeros = jnp.zeros((N,), Z.t.dtype)
     return StarState(
+        z_rt=jnp.zeros(probs.a_i.shape + (d,), Z.t.dtype),
+        z_rR=jnp.zeros(probs.a_i.shape + (d, d), Z.t.dtype),
+        z_us=jnp.zeros(probs.e_self.shape + (d,), Z.t.dtype),
+        z_Es=jnp.zeros(probs.e_self.shape + (d, d), Z.t.dtype),
         Z=Z, Z_prev=Z,
         g_t=jnp.zeros_like(Z.t), g_R=jnp.zeros_like(Z.R),
         f=zeros, fobj=zeros,
@@ -76,14 +86,14 @@ def update_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     Nesterov gamma (DPGOStar.cpp:309-391)."""
 
     def per_node(p: NodeProblem, Z: NodeState):
-        g, f, fobj = p.surrogate_g_f_fobj(Z)
+        g, f, fobj, zres = p.surrogate_g_f_fobj_res(Z)
         Df = p.euclidean_Df(Z, g=g)
         grad_t, grad_R = Df[0], proj_tangent(Z.R, Df[1])
         gradnorm = jnp.sqrt(jnp.sum(grad_t * grad_t)
                             + jnp.sum(grad_R * grad_R))
-        return g[0], g[1], f, fobj, Df[0], Df[1], gradnorm
+        return g[0], g[1], f, fobj, Df[0], Df[1], gradnorm, zres
 
-    g_t, g_R, f, fobj, Df_t, Df_R, gradFnorm = jax.vmap(per_node)(
+    g_t, g_R, f, fobj, Df_t, Df_R, gradFnorm, zres = jax.vmap(per_node)(
         probs, st.Z)
 
     if opts.accelerated:
@@ -99,7 +109,8 @@ def update_star(probs: NodeProblem, st: StarState, opts: MMOptions,
         g_R_prev=st.g_R if not first else g_R,
         Df_t_prev=st.Df_t if not first else Df_t,
         Df_R_prev=st.Df_R if not first else Df_R,
-        gradFnorm=gradFnorm, s=s0, s_next=s1, gamma=gamma)
+        gradFnorm=gradFnorm, s=s0, s_next=s1, gamma=gamma,
+        z_rt=zres[0][0], z_rR=zres[0][1], z_us=zres[1][0], z_Es=zres[1][1])
 
 
 def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
@@ -137,10 +148,12 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     prox = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))
     recov = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))
 
+    zres = ((st.z_rt, st.z_rR), (st.z_us, st.z_Es))
+
     # amm_pgo_n: proximal candidate Xkh + refined candidate Xkp.
     Xh_t, Xh_R = prox(probs, Y, Df_t_ex, Df_R_ex)
     tp = recov(probs, Xh_R, g_t_ex, Y.t)
-    G0 = _eval_G_batch(probs, st, tp, Xh_R)
+    G0 = _eval_G_batch(probs, st, tp, Xh_R, zres)
     Xp_t, Xp_R, _ = _masked_tnt(probs, tp, Xh_R, g_t_ex, g_R_ex, st.f,
                                 refined, opts.tnt, G0, t_anchor=Y.t)
 
@@ -166,7 +179,7 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     def mm_fallback(args):
         Xp_t, Xp_R, fobj, s_next = args
         t2 = recov(probs, Xh_R, st.g_t, st.Z.t)
-        G2 = _eval_G_batch(probs, st, t2, Xh_R)
+        G2 = _eval_G_batch(probs, st, t2, Xh_R, zres)
         t3, R3, _ = _masked_tnt(probs, t2, Xh_R, st.g_t, st.g_R, st.f,
                                 refined, opts.tnt, G2, t_anchor=st.Z.t)
         return (t3, R3, global_f_fn(t3, R3),
