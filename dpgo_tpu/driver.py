@@ -311,13 +311,17 @@ class DPGOSolver:
         return precondition
 
     def polish(self, st: MMState, outer: int = 20, tcg: int = 500,
-               node_precon: bool = True):
+               node_precon: bool = True, coarse: bool = False):
         """Global second-order tail polish: gather the full pose state, run
         Riemannian TNT on the coupled problem (solvers/polish.py — one halo
         exchange per CG iteration, cheap on-device), and re-anchor the solver
-        state at the result. Returns (state, 2*f_value)."""
+        state at the result. Returns (state, 2*f_value).
+
+        `coarse=True` adds the two-level block-rigid coarse correction to
+        the preconditioner (cross-node lever-arm conditioning; see
+        polish.coarse_rigid_preconditioner)."""
         from dpgo_tpu.solvers import polish as polish_mod
-        key = (outer, tcg, node_precon)
+        key = (outer, tcg, node_precon, coarse)
         if getattr(self, "_polish_jits", None) is None:
             self._polish_jits = {}
         if key not in self._polish_jits:
@@ -328,6 +332,14 @@ class DPGOSolver:
             def impl(probs, t, R):
                 precon = (self._node_block_precondition(probs)
                           if node_precon else None)
+                if coarse and precon is not None:
+                    model0 = polish_mod.global_tnt_model(
+                        self.edges, self.loss, self.loss_reg,
+                        num_poses=t.shape[0], precondition=precon)
+                    _, nabla = model0.grad_and_nabla((t, R))
+                    precon = polish_mod.coarse_rigid_preconditioner(
+                        model0.hess_vp, nabla, (t, R), self.node_of,
+                        self.num_nodes, precon)
                 return polish_mod.polish_global(
                     self.edges, t, R, loss=self.loss,
                     loss_reg=self.loss_reg, params=params,

@@ -91,6 +91,88 @@ def global_tnt_model(edges: EdgeData, loss: Loss = Loss.TRIVIAL,
                     retract=retract)
 
 
+def _skew_basis(d: int) -> jnp.ndarray:
+    """Orthonormal-ish basis of skew d x d matrices [s, d, d]."""
+    if d == 2:
+        return jnp.asarray([[[0.0, -1.0], [1.0, 0.0]]])
+    S = []
+    for (a, b) in ((0, 1), (0, 2), (1, 2)):
+        M = [[0.0] * 3 for _ in range(3)]
+        M[a][b] = -1.0
+        M[b][a] = 1.0
+        S.append(M)
+    return jnp.asarray(S)
+
+
+def coarse_rigid_preconditioner(hess_vp_fn, nabla, x0, node_of, num_nodes,
+                                base_precon, reg: float = 1e-8):
+    """Two-level preconditioner: node-block solve + a coarse correction over
+    per-node RIGID MOTIONS (one rotation + one translation per node).
+
+    The node-block preconditioner collapses intra-node conditioning but is
+    blind to cross-node lever arms: on corridor graphs (ais2klinik) a
+    rotation at one end moves translations at the other by (graph length) x
+    angle, so the Hessian's slow modes are smooth block-rigid motions with
+    curvature ~ tau L^2 — invisible to any block-diagonal operator. The
+    coarse space spans exactly those modes: for node a with skew basis S_k,
+      P(w, u)|_p = (W t_p - W c_a + u,  W R_p),  W = sum_k w_k S_k, p in a.
+    The Galerkin operator A_c = P^T H(x0) P (N(d + d(d-1)/2) ~ 50-100 dims)
+    is built with one vmapped Hessian pass and pseudo-inverted (the global
+    rigid motion is the gauge null space -> eigenvalue clip). Application:
+      M v = M_block v + P A_c^+ P^T v   (additive, SPD on the gauge
+    complement). A standard two-level/deflation construction, re-expressed
+    for the pose-graph block structure.
+    """
+    t0, R0 = x0
+    d = t0.shape[-1]
+    S = _skew_basis(d).astype(t0.dtype)       # [s, d, d]
+    s = S.shape[0]
+    N = num_nodes
+    # center each block so rotation/translation coarse dofs decouple
+    ones = jnp.zeros((N,), t0.dtype).at[node_of].add(1.0)
+    c = (jnp.zeros((N, d), t0.dtype).at[node_of].add(t0)
+         / jnp.maximum(ones, 1.0)[:, None])
+    tc = t0 - c[node_of]
+    K = s + d
+
+    def P_apply(coef):
+        w = coef[:, :s]
+        u = coef[:, s:]
+        Wp = jnp.einsum("ns,sab->nab", w, S)[node_of]
+        vR = jnp.einsum("pab,pbc->pac", Wp, R0)
+        vt = jnp.einsum("pab,pb->pa", Wp, tc) + u[node_of]
+        return vt, vR
+
+    def P_adj(v):
+        vt, vR = v
+        aw = (jnp.einsum("sab,pbc,pac->ps", S, R0, vR)
+              + jnp.einsum("sab,pb,pa->ps", S, tc, vt))
+        w = jnp.zeros((N, s), t0.dtype).at[node_of].add(aw)
+        u = jnp.zeros((N, d), t0.dtype).at[node_of].add(vt)
+        return jnp.concatenate([w, u], axis=1)
+
+    # Galerkin coarse operator via one vmapped Hessian pass over the basis.
+    eye = jnp.eye(N * K, dtype=t0.dtype).reshape(N * K, N, K)
+    Vt, VR = jax.vmap(P_apply)(eye)
+    HV = jax.vmap(lambda vt, vR: hess_vp_fn(x0, nabla, (vt, vR)))(Vt, VR)
+    A = (jnp.einsum("ipa,jpa->ij", Vt, HV[0])
+         + jnp.einsum("ipab,jpab->ij", VR, HV[1]))
+    A = 0.5 * (A + A.T)
+    lam, Q = jnp.linalg.eigh(A)
+    lam_max = jnp.maximum(lam[-1], 1e-30)
+    lam_inv = jnp.where(lam > reg * lam_max, 1.0 / jnp.maximum(lam, 1e-30),
+                        0.0)
+
+    def precondition(x, v):
+        bt, bR = base_precon(x, v)
+        coef = P_adj(v).reshape(-1)
+        y = (Q @ (lam_inv * (Q.T @ coef))).reshape(N, K)
+        ct, cR = P_apply(y)
+        return (bt + ct, proj_tangent(x[1], bR + cR))
+
+    return precondition
+
+
 def polish_params(outer: int = 20, tcg: int = 500,
                   grad_tol: float = 0.0) -> TNTParams:
     """TNT parameters tuned for the polish role: run every outer iteration

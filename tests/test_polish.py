@@ -60,6 +60,26 @@ def test_polish_beats_long_amm_tail_mitb():
     assert float(f) / fc - 1.0 < 1e-9
 
 
+@pytest.mark.skipif(not os.path.exists(f"{DATA}/MITb.g2o"),
+                    reason="dataset missing")
+def test_coarse_rigid_preconditioner_tightens_cg():
+    """Two-level (node-block + block-rigid coarse) preconditioning reaches a
+    much smaller gradient than node-block alone at the same CG budget (the
+    cross-node lever-arm modes are exactly the coarse space)."""
+    meas = read_g2o_file(f"{DATA}/MITb.g2o")
+    fc = _cert("MITb.g2o")
+    s = DPGOSolver(meas, num_nodes=4,
+                   opts=MMOptions(tnt=TNTParams(max_iterations=0)),
+                   dtype=jnp.float64)
+    st, _ = s.run_steps(s.initialize(), jnp.zeros((), jnp.int32), 50)
+    st_a, _ = s.polish(st, outer=10, tcg=60, coarse=False)
+    st_b, _ = s.polish(st, outer=10, tcg=60, coarse=True)
+    fa, ga = map(float, s._metrics(st_a))
+    fb, gb = map(float, s._metrics(st_b))
+    assert fb / fc - 1.0 < 1e-9
+    assert gb < 0.1 * ga  # measured ~200x; assert a conservative 10x
+
+
 def test_global_hessian_vp_matches_autodiff():
     """hess_vp == tangent-projected autodiff Hessian of f circ retraction
     (the standard embedded-manifold identity at a stationary-agnostic point:
