@@ -63,6 +63,9 @@ def main(argv=None):
                          "problem (solvers/polish.py) — collapses the "
                          "long MM tail to the optimum superlinearly")
     ap.add_argument("--polish_tcg", type=int, default=500)
+    ap.add_argument("--polish_coarse", type=_bool, default=True,
+                    help="two-level block-rigid coarse preconditioner for "
+                         "the polish (helps long corridor graphs)")
     args = ap.parse_args(argv)
 
     import jax
@@ -138,7 +141,8 @@ def main(argv=None):
 
     if args.polish > 0:
         t_start = time.perf_counter()
-        st, _ = solver.polish(st, outer=args.polish, tcg=args.polish_tcg)
+        st, _ = solver.polish(st, outer=args.polish, tcg=args.polish_tcg,
+                              coarse=args.polish_coarse)
         elapsed += time.perf_counter() - t_start
         f, g = solver._metrics(st)
         rows.append((k, elapsed, float(f), float(g)))

@@ -63,7 +63,8 @@ def main():
                        opts=MMOptions(tnt=TNTParams(max_iterations=0)),
                        dtype=jnp.float64)
         st = s.initialize(t=t, R=R)
-        st, _ = s.polish(st, outer=args.pre_polish, tcg=args.pre_polish_tcg)
+        st, _ = s.polish(st, outer=args.pre_polish, tcg=args.pre_polish_tcg,
+                         coarse=True)
         t, R = map(np.asarray, s.gather_global(st))
 
     if args.polish_iters > 0:
