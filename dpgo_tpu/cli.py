@@ -66,6 +66,11 @@ def main(argv=None):
     ap.add_argument("--polish_coarse", type=_bool, default=True,
                     help="two-level block-rigid coarse preconditioner for "
                          "the polish (helps long corridor graphs)")
+    ap.add_argument("--polish_levels", default="",
+                    help="comma list of extra contiguous-segment coarse "
+                         "levels for the polish preconditioner (e.g. "
+                         "'64,256'; multilevel hierarchy for corridor "
+                         "graphs with multiscale conditioning)")
     args = ap.parse_args(argv)
 
     import jax
@@ -141,8 +146,11 @@ def main(argv=None):
 
     if args.polish > 0:
         t_start = time.perf_counter()
+        segs = tuple(int(x) for x in args.polish_levels.split(",")
+                     if x.strip())
         st, _ = solver.polish(st, outer=args.polish, tcg=args.polish_tcg,
-                              coarse=args.polish_coarse)
+                              coarse=args.polish_coarse,
+                              coarse_segments=segs)
         elapsed += time.perf_counter() - t_start
         f, g = solver._metrics(st)
         rows.append((k, elapsed, float(f), float(g)))

@@ -311,17 +311,22 @@ class DPGOSolver:
         return precondition
 
     def polish(self, st: MMState, outer: int = 20, tcg: int = 500,
-               node_precon: bool = True, coarse: bool = False):
+               node_precon: bool = True, coarse: bool = False,
+               coarse_segments: tuple = ()):
         """Global second-order tail polish: gather the full pose state, run
         Riemannian TNT on the coupled problem (solvers/polish.py — one halo
         exchange per CG iteration, cheap on-device), and re-anchor the solver
         state at the result. Returns (state, 2*f_value).
 
-        `coarse=True` adds the two-level block-rigid coarse correction to
-        the preconditioner (cross-node lever-arm conditioning; see
-        polish.coarse_rigid_preconditioner)."""
+        `coarse=True` adds the block-rigid coarse correction to the
+        preconditioner (cross-node lever-arm conditioning); non-empty
+        `coarse_segments` (e.g. (64, 256)) adds finer contiguous-segment
+        rigid levels on top — the additive multilevel hierarchy for
+        corridor-style multiscale conditioning (ais2klinik); see
+        polish.multilevel_rigid_preconditioner."""
         from dpgo_tpu.solvers import polish as polish_mod
-        key = (outer, tcg, node_precon, coarse)
+        coarse_segments = tuple(coarse_segments)
+        key = (outer, tcg, node_precon, coarse, coarse_segments)
         if getattr(self, "_polish_jits", None) is None:
             self._polish_jits = {}
         if key not in self._polish_jits:
@@ -337,9 +342,12 @@ class DPGOSolver:
                         self.edges, self.loss, self.loss_reg,
                         num_poses=t.shape[0], precondition=precon)
                     _, nabla = model0.grad_and_nabla((t, R))
-                    precon = polish_mod.coarse_rigid_preconditioner(
-                        model0.hess_vp, nabla, (t, R), self.node_of,
-                        self.num_nodes, precon)
+                    P = t.shape[0]
+                    levels = [(self.node_of, self.num_nodes)]
+                    levels += [(polish_mod.contiguous_segments(P, m), m)
+                               for m in coarse_segments if m < P]
+                    precon = polish_mod.multilevel_rigid_preconditioner(
+                        model0.hess_vp, nabla, (t, R), levels, precon)
                 return polish_mod.polish_global(
                     self.edges, t, R, loss=self.loss,
                     loss_reg=self.loss_reg, params=params,
@@ -347,9 +355,16 @@ class DPGOSolver:
 
             self._polish_jits[key] = jax.jit(impl)
         t, R = self.gather_global(st)
+        t, R = self._place_global(t, R)
         t2, R2, fx = self._polish_jits[key](self.probs, t, R)
         st2 = self.initialize(np.asarray(t2), np.asarray(R2))
         return st2, 2.0 * float(fx)
+
+    def _place_global(self, t, R):
+        """Placement hook for the gathered global pose state before the
+        polish jit (the sharded solvers shard the pose axis over the mesh so
+        the coupled TNT runs distributed; base class: single device)."""
+        return t, R
 
     def node_stats(self, st: MMState) -> dict:
         """Per-node observability snapshot (the reference's DPGOResult

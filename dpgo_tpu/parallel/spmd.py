@@ -197,6 +197,13 @@ class ShardedDPGOSolver(DPGOSolver):
             return self.halo_dc
         return jnp.zeros(self.halo_owner.shape + (self.mg.d,), self.dtype)
 
+    def _place_global(self, t, R):
+        # Shard the gathered pose axis over the mesh: the coupled polish TNT
+        # then runs distributed under GSPMD, each CG Hessian product's halo
+        # reads becoming ICI collectives.
+        sh = NamedSharding(self.mesh, P("nodes"))
+        return jax.device_put(t, sh), jax.device_put(R, sh)
+
     def _step_impl(self, probs, st: MMState, k):
         opts = self.opts
         nspec = P("nodes")

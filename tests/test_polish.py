@@ -80,6 +80,24 @@ def test_coarse_rigid_preconditioner_tightens_cg():
     assert gb < 0.1 * ga  # measured ~200x; assert a conservative 10x
 
 
+@pytest.mark.skipif(not os.path.exists(f"{DATA}/MITb.g2o"),
+                    reason="dataset missing")
+def test_multilevel_rigid_preconditioner():
+    """Multilevel hierarchy (node + finer contiguous segments) stays SPD and
+    converges at least as tightly as the two-level at equal budget."""
+    meas = read_g2o_file(f"{DATA}/MITb.g2o")
+    fc = _cert("MITb.g2o")
+    s = DPGOSolver(meas, num_nodes=4,
+                   opts=MMOptions(tnt=TNTParams(max_iterations=0)),
+                   dtype=jnp.float64)
+    st, _ = s.run_steps(s.initialize(), jnp.zeros((), jnp.int32), 50)
+    st_m, _ = s.polish(st, outer=10, tcg=60, coarse=True,
+                       coarse_segments=(16, 64))
+    fm, gm = map(float, s._metrics(st_m))
+    assert fm / fc - 1.0 < 1e-9
+    assert gm < 1e-5
+
+
 def test_global_hessian_vp_matches_autodiff():
     """hess_vp == tangent-projected autodiff Hessian of f circ retraction
     (the standard embedded-manifold identity at a stationary-agnostic point:

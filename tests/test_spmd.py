@@ -108,3 +108,23 @@ def test_sharded_star_matches_local(rng):
             hist_s.append((k + 1, float(f), float(g)))
     hist_s = np.asarray(hist_s)
     np.testing.assert_allclose(hist_s[:, 1], hist_r[:, 1], rtol=1e-9)
+
+
+def test_sharded_polish_matches_local(rng):
+    """polish() on the sharded solver (pose axis distributed over the mesh
+    via _place_global) reaches the same objective as the local polish."""
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    meas, _, _ = random_pose_graph(rng, num_poses=64, d=3, loop_closures=40)
+    ref = DPGOSolver(meas, num_nodes=8, opts=MMOptions())
+    shd = ShardedDPGOSolver(meas, num_nodes=8, opts=MMOptions())
+    st_r, _ = ref.run(5, record_every=5)
+    st_s = shd.initialize()
+    for k in range(5):
+        st_s = shd._step(st_s, jnp.asarray(k, jnp.int32))
+    st_r2, f_r = ref.polish(st_r, outer=8, tcg=50, coarse=True)
+    st_s2, f_s = shd.polish(st_s, outer=8, tcg=50, coarse=True)
+    np.testing.assert_allclose(f_s, f_r, rtol=1e-9)
+    _, g_s = shd._metrics(st_s2)
+    _, g_r = ref._metrics(st_r2)
+    assert float(g_s) < 1e-6 or float(g_s) <= 2 * float(g_r)

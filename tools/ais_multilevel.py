@@ -1,0 +1,111 @@
+"""ais2klinik multilevel-polish experiment harness.
+
+The one dataset still uncertified: its corridor geometry has slow bending
+modes at every scale, defeating both the node-block preconditioner and the
+single node-level rigid coarse correction (round-3 negative result). This
+harness runs the coupled global polish with an additive multilevel rigid
+hierarchy (solvers/polish.py multilevel_rigid_preconditioner) and reports
+(2f, 2|grad|) per outer chunk so preconditioner variants can be compared.
+
+  JAX_PLATFORMS=cpu python tools/ais_multilevel.py --levels 64,256 \
+      --chunks 6 --outer 10 --tcg 300
+"""
+
+import argparse
+import os
+import sys
+import time
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--dataset",
+                    default="/root/reference/dataset/ais2klinik.g2o")
+    ap.add_argument("--num_nodes", type=int, default=16)
+    ap.add_argument("--levels", default="64,256",
+                    help="comma list of segment counts for extra coarse "
+                         "levels; 'node' level is always included; empty "
+                         "string = two-level (round-3 behavior)")
+    ap.add_argument("--chunks", type=int, default=6)
+    ap.add_argument("--outer", type=int, default=10, help="outer TNT iters "
+                    "per chunk")
+    ap.add_argument("--tcg", type=int, default=300)
+    ap.add_argument("--amm", type=int, default=0,
+                    help="AMM bulk iterations before the polish")
+    ap.add_argument("--init_from", default=None)
+    ap.add_argument("--save", default=None, help="save final estimate .npz")
+    args = ap.parse_args()
+
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from dpgo_tpu.objective import evaluate_f, grad_norm
+    from dpgo_tpu.solvers import polish as pm
+    from dpgo_tpu.solvers.mm import MMOptions
+    from dpgo_tpu.solvers.tnt import TNTParams
+
+    meas = read_g2o_file(args.dataset)
+    s = DPGOSolver(meas, num_nodes=args.num_nodes,
+                   opts=MMOptions(tnt=TNTParams(max_iterations=0)),
+                   dtype=jnp.float64)
+    if args.init_from:
+        warm = np.load(args.init_from)
+        st = s.initialize(t=warm["t"], R=warm["R"])
+    else:
+        st = s.initialize()
+    if args.amm:
+        st, _, _ = s.run_steps_history(st, 0, args.amm)
+    t, R = map(jnp.asarray, s.gather_global(st))
+
+    P = meas.num_poses
+    f0 = 2 * float(evaluate_f(s.edges, t, R))
+    g0 = 2 * float(grad_norm(s.edges, t, R))
+    print(f"start: 2f={f0:.10g} 2|grad|={g0:.3e}")
+
+    seg_counts = [int(x) for x in args.levels.split(",") if x.strip()]
+
+    base = s._node_block_precondition(s.probs)
+    model0 = pm.global_tnt_model(s.edges, s.loss, s.loss_reg, num_poses=P,
+                                 precondition=base)
+
+    def make_precon(t, R):
+        _, nabla = model0.grad_and_nabla((t, R))
+        levels = [(s.node_of, s.num_nodes)]
+        levels += [(pm.contiguous_segments(P, m), m) for m in seg_counts]
+        return pm.multilevel_rigid_preconditioner(
+            model0.hess_vp, nabla, (t, R), levels, base)
+
+    params = pm.polish_params(outer=args.outer, tcg=args.tcg)
+
+    @jax.jit
+    def chunk(t, R):
+        precon = make_precon(t, R)
+        return pm.polish_global(s.edges, t, R, params=params,
+                                precondition=precon)
+
+    for c in range(args.chunks):
+        t0 = time.time()
+        t, R, fx = chunk(t, R)
+        fx = float(np.asarray(fx))
+        g = 2 * float(grad_norm(s.edges, t, R))
+        print(f"chunk {c}: 2f={2*fx:.12g} 2|grad|={g:.3e} "
+              f"({time.time()-t0:.1f}s)")
+
+    if args.save:
+        np.savez(args.save, t=np.asarray(t), R=np.asarray(R))
+        print(f"saved {args.save}")
+
+
+if __name__ == "__main__":
+    main()

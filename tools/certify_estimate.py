@@ -41,6 +41,9 @@ def main():
                     help="global coupled trust-region iterations before the "
                          "staircase warm start (0 disables)")
     ap.add_argument("--pre_polish_tcg", type=int, default=200)
+    ap.add_argument("--pre_polish_levels", default="",
+                    help="extra contiguous-segment coarse levels for the "
+                         "polish preconditioner (e.g. '64,256')")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -63,8 +66,10 @@ def main():
                        opts=MMOptions(tnt=TNTParams(max_iterations=0)),
                        dtype=jnp.float64)
         st = s.initialize(t=t, R=R)
+        segs = tuple(int(x) for x in args.pre_polish_levels.split(",")
+                     if x.strip())
         st, _ = s.polish(st, outer=args.pre_polish, tcg=args.pre_polish_tcg,
-                         coarse=True)
+                         coarse=True, coarse_segments=segs)
         t, R = map(np.asarray, s.gather_global(st))
 
     if args.polish_iters > 0:
