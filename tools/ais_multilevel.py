@@ -46,6 +46,9 @@ def main():
                     help="AMM bulk iterations before the polish")
     ap.add_argument("--init_from", default=None)
     ap.add_argument("--save", default=None, help="save final estimate .npz")
+    ap.add_argument("--diag", action="store_true",
+                    help="per-outer diagnostic mode (cg iters, rho, Delta)")
+    ap.add_argument("--Delta0", type=float, default=0.0)
     args = ap.parse_args()
 
     from dpgo_tpu.driver import DPGOSolver
@@ -88,19 +91,63 @@ def main():
 
     params = pm.polish_params(outer=args.outer, tcg=args.tcg)
 
-    @jax.jit
-    def chunk(t, R):
-        precon = make_precon(t, R)
-        return pm.polish_global(s.edges, t, R, params=params,
-                                precondition=precon)
+    if args.diag:
+        # Per-outer diagnostics: one TNT outer iteration at a time (python
+        # loop; preconditioner rebuilt once per chunk like the jitted path),
+        # printing CG iterations / trust radius / rho to attribute stalls to
+        # CG truncation vs trust-region limiting vs negative curvature.
+        from dpgo_tpu.solvers.tnt import stpcg, _ip
 
-    for c in range(args.chunks):
-        t0 = time.time()
-        t, R, fx = chunk(t, R)
-        fx = float(np.asarray(fx))
-        g = 2 * float(grad_norm(s.edges, t, R))
-        print(f"chunk {c}: 2f={2*fx:.12g} 2|grad|={g:.3e} "
-              f"({time.time()-t0:.1f}s)")
+        @jax.jit
+        def outer_step(t, R, Delta):
+            precon = make_precon(t, R)
+            model = pm.global_tnt_model(s.edges, s.loss, s.loss_reg,
+                                        num_poses=P, precondition=precon)
+            x = (t, R)
+            fx = model.objective(x)
+            grad, nabla = model.grad_and_nabla(x)
+            gn = jnp.sqrt(_ip(grad, grad))
+            h, h_M, k = stpcg(grad, lambda v: model.hess_vp(x, nabla, v),
+                              lambda v: model.precondition(x, v), Delta,
+                              params)
+            xp = model.retract(x, h)
+            fxp = model.objective(xp)
+            dm = -_ip(grad, h) - 0.5 * _ip(h, model.hess_vp(x, nabla, h))
+            rho = (fx - fxp) / dm
+            on_boundary = h_M > 0.99 * Delta
+            return xp[0], xp[1], fx, fxp, gn, k, rho, on_boundary, h_M
+
+        Delta = jnp.asarray(1e5 if args.Delta0 <= 0 else args.Delta0,
+                            jnp.float64)
+        for it in range(args.chunks * args.outer):
+            t0 = time.time()
+            tn, Rn, fx, fxp, gn, k, rho, bnd, h_M = outer_step(t, R, Delta)
+            rho = float(rho)
+            ok = np.isfinite(rho) and rho > 1e-4
+            if ok:
+                t, R = tn, Rn
+            if rho >= 0.9:
+                Delta = jnp.maximum(4.0 * h_M, Delta)
+            elif not ok:
+                Delta = 0.25 * h_M
+            print(f"outer {it}: 2f={2*float(fx):.12g} 2|g|={2*float(gn):.3e}"
+                  f" cg={int(k)} rho={rho:.3f} bnd={bool(bnd)}"
+                  f" Delta={float(Delta):.2e} ({time.time()-t0:.1f}s)")
+        fx = float(fxp)
+    else:
+        @jax.jit
+        def chunk(t, R):
+            precon = make_precon(t, R)
+            return pm.polish_global(s.edges, t, R, params=params,
+                                    precondition=precon)
+
+        for c in range(args.chunks):
+            t0 = time.time()
+            t, R, fx = chunk(t, R)
+            fx = float(np.asarray(fx))
+            g = 2 * float(grad_norm(s.edges, t, R))
+            print(f"chunk {c}: 2f={2*fx:.12g} 2|grad|={g:.3e} "
+                  f"({time.time()-t0:.1f}s)")
 
     if args.save:
         np.savez(args.save, t=np.asarray(t), R=np.asarray(R))
