@@ -39,6 +39,14 @@ def main(argv=None):
                     help="robust-loss surrogate reweighting mode "
                          "(reference Rescale::{Static,Dynamic})")
     ap.add_argument("--accelerated", type=_bool, default=True)
+    ap.add_argument("--preconditioner", default=None,
+                    choices=["none", "jacobi", "dense"],
+                    help="STPCG preconditioner (reference Preconditioner "
+                         "enum, DPGO_types.h:35-40; 'dense' = the "
+                         "RegularizedCholesky role). Default: auto")
+    ap.add_argument("--accepted_delta", type=float, default=5e-4,
+                    help="TNT refinement gate (reference "
+                         "Options::accepted_delta)")
     ap.add_argument("--solver", default="hash", choices=["hash", "star"])
     ap.add_argument("--pcm", action="store_true",
                     help="PCM outlier rejection on inter edges before solving")
@@ -99,7 +107,9 @@ def main(argv=None):
                                 PCMOptions(tolerance=args.pcm_tolerance))
         print(f"PCM kept {keep.sum()}/{len(keep)} edges")
 
-    opts = MMOptions(accelerated=args.accelerated, rescale=args.rescale)
+    opts = MMOptions(accelerated=args.accelerated, rescale=args.rescale,
+                     preconditioner=args.preconditioner,
+                     accepted_delta=args.accepted_delta)
     cls = DPGOStarSolver if args.solver == "star" else DPGOSolver
     solver = cls(meas, num_nodes=args.num_nodes, opts=opts, loss=loss,
                  loss_reg=args.loss_reg, dtype=dtype)

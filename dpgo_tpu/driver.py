@@ -323,9 +323,18 @@ class DPGOSolver:
         `coarse_segments` (e.g. (64, 256)) adds finer contiguous-segment
         rigid levels on top — the additive multilevel hierarchy for
         corridor-style multiscale conditioning (ais2klinik); see
-        polish.multilevel_rigid_preconditioner."""
+        polish.multilevel_rigid_preconditioner. Passing coarse_segments
+        implies the coarse path (and requires the node preconditioner as the
+        hierarchy's base level)."""
         from dpgo_tpu.solvers import polish as polish_mod
         coarse_segments = tuple(coarse_segments)
+        if coarse_segments and not coarse:
+            coarse = True  # segments imply the multilevel hierarchy
+        if coarse and not node_precon:
+            raise ValueError(
+                "polish(coarse=True / coarse_segments=...) needs the "
+                "node-block preconditioner as the hierarchy's base level; "
+                "pass node_precon=True")
         key = (outer, tcg, node_precon, coarse, coarse_segments)
         if getattr(self, "_polish_jits", None) is None:
             self._polish_jits = {}
@@ -366,6 +375,21 @@ class DPGOSolver:
         the coupled TNT runs distributed; base class: single device)."""
         return t, R
 
+    def refine_stats(self, st: MMState) -> dict:
+        """Per-node, per-TNT-outer-iteration refinement profile for the
+        CURRENT state: (f, |grad|, |Pgrad|, Delta, inner CG iterations, step
+        M-norm, rho, accepted) ring buffers plus the refinement gate mask —
+        the reference's TNTResult observability (TNT.h:168-194,
+        DPGO_types.h:280-297) surfaced from the vmapped refinement.
+        Diagnostic probe (re-runs the refinement outside the scan)."""
+        if getattr(self, "_refine_probe_jit", None) is None:
+            self._refine_probe_jit = jax.jit(
+                lambda probs, s: mm_mod.refine_probe(probs, s, self.opts))
+        refined, hist = self._refine_probe_jit(self.probs, st)
+        out = {k: np.asarray(v) for k, v in hist._asdict().items()}
+        out["refined_mask"] = np.asarray(refined)
+        return out
+
     def node_stats(self, st: MMState) -> dict:
         """Per-node observability snapshot (the reference's DPGOResult
         per-iteration series, DPGO_types.h:204-298)."""
@@ -383,30 +407,46 @@ class DPGOSolver:
         }
 
     def run(self, num_iters: int, t0=None, R0=None, record_every: int = 1,
-            callback=None):
+            callback=None, log_iterates: bool = False):
         """Run the solver; returns (state, history) where history rows are
         (iter, 2*fobj, 2*gradnorm) in the reference driver's convention.
 
         `callback(k, state, fobj2x, grad2x)` is invoked at every recorded
         iteration (the TNTUserFunction-style instrumentation hook,
-        TNT.h:35-71); returning True stops the run early."""
+        TNT.h:35-71); returning True stops the run early.
+
+        `log_iterates=True` additionally keeps the global (t, R) iterate at
+        every recorded iteration (reference Options::log_iterates,
+        DPGO_types.h:197-199) and returns (state, history, iterates) with
+        iterates a list of (t [P,d], R [P,d,d]) numpy pairs."""
         st = self.initialize(t0, R0)
         history = []
+        iterates = []
+
+        def record(st):
+            if log_iterates:
+                t, R = self.gather_global(st)
+                iterates.append((np.asarray(t), np.asarray(R)))
+
         f, g = self._metrics(st)
         history.append((0, float(f), float(g)))
-        if callback is not None and callback(0, st, float(f), float(g)):
-            return st, np.asarray(history)
+        record(st)
+        stopped = callback is not None and callback(0, st, float(f),
+                                                    float(g))
         k0 = jnp.zeros((), jnp.int32)
         done = 0
-        while done < num_iters:
+        while not stopped and done < num_iters:
             chunk = min(record_every, num_iters - done)
             st, k0 = self.run_steps(st, k0, chunk)
             done += chunk
             f, g = self._metrics(st)
             history.append((done, float(f), float(g)))
+            record(st)
             if callback is not None and callback(done, st, float(f),
                                                  float(g)):
                 break
+        if log_iterates:
+            return st, np.asarray(history), iterates
         return st, np.asarray(history)
 
 

@@ -41,6 +41,46 @@ class PCMOptions:
     native: bool = True
 
 
+def loop_errors(P, Q) -> jnp.ndarray:
+    """Cross loop-error matrix between two sets of oriented measurements.
+
+    P and Q are tuples (meas_R [m,d,d], meas_t [m,d], kappa [m], tau [m],
+    ti [m,d], Ri [m,d,d], tj [m,d], Rj [m,d,d]) — alpha->beta oriented
+    measurements with the current endpoint pose estimates. Returns
+    err [mP, mQ] with err[p, q] the composed-loop deviation
+
+        e = sqrt(kap |R_loop - I|^2 + ta |t_loop|^2)
+
+    (reference evaluate_consistency, PCM.cpp:226-230; the cross form is what
+    lets the incremental pipeline score only new-vs-prior pairs)."""
+    R_p, t_p, kap_p, tau_p, ti_p, Ri_p, tj_p, Rj_p = map(jnp.asarray, P)
+    R_q, t_q, kap_q, tau_q, ti_q, Ri_q, tj_q, Rj_q = map(jnp.asarray, Q)
+    d = t_p.shape[-1]
+
+    # B[p,q] = R_jp^T R_jq ; D[q,p] = R_iq^T R_ip
+    B = jnp.einsum("pba,qbc->pqac", Rj_p, Rj_q)
+    tB = jnp.einsum("pba,qb->pqa", Rj_p, tj_q) - jnp.einsum(
+        "pba,pb->pa", Rj_p, tj_p)[:, None, :]
+    # chain: A = T_p ; AB ; ABC with C = T_q^{-1} ; ABCD with D = T(i1<-i0)
+    AB_R = jnp.einsum("pab,pqbc->pqac", R_p, B)
+    AB_t = t_p[:, None, :] + jnp.einsum("pab,pqb->pqa", R_p, tB)
+    C_R = jnp.swapaxes(R_q, -1, -2)  # [q, d, d]
+    C_t = -jnp.einsum("qba,qb->qa", R_q, t_q)
+    ABC_R = jnp.einsum("pqab,qbc->pqac", AB_R, C_R)
+    ABC_t = AB_t + jnp.einsum("pqab,qb->pqa", AB_R, C_t)
+    D_R = jnp.einsum("qba,pbc->qpac", Ri_q, Ri_p)  # [q, p]: R_iq^T R_ip
+    D_t = jnp.einsum("qba,pb->qpa", Ri_q, ti_p) - jnp.einsum(
+        "qba,qb->qa", Ri_q, ti_q)[:, None, :]
+    R_loop = jnp.einsum("pqab,qpbc->pqac", ABC_R, D_R)
+    t_loop = ABC_t + jnp.einsum("pqab,qpb->pqa", ABC_R, D_t)
+
+    kap = 0.5 * (kap_p[:, None] + kap_q[None, :])
+    ta = 0.5 * (tau_p[:, None] + tau_q[None, :])
+    return jnp.sqrt(
+        kap * jnp.sum((R_loop - jnp.eye(d)) ** 2, axis=(-1, -2))
+        + ta * jnp.sum(t_loop ** 2, axis=-1))
+
+
 def pairwise_consistency(meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj,
                          tolerance: float, weighted: bool) -> np.ndarray:
     """Boolean consistency matrix for one node pair.
@@ -49,40 +89,12 @@ def pairwise_consistency(meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj,
     current estimates of their endpoint poses (ti/Ri in alpha, tj/Rj in
     beta).
     """
-    m, d = meas_t.shape
-    R_p = jnp.asarray(meas_R)
-    t_p = jnp.asarray(meas_t)
-    Ri = jnp.asarray(Ri)
-    Rj = jnp.asarray(Rj)
-    ti = jnp.asarray(ti)
-    tj = jnp.asarray(tj)
-
-    # B[p,q] = R_jp^T R_jq ; D[p,q] = R_iq^T R_ip
-    B = jnp.einsum("pba,qbc->pqac", Rj, Rj)
-    tB = jnp.einsum("pba,qb->pqa", Rj, tj) - jnp.einsum(
-        "pba,pb->pa", Rj, tj)[:, None, :]
-    # chain: A = T_p ; AB ; ABC with C = T_q^{-1} ; ABCD with D = T(i1<-i0)
-    AB_R = jnp.einsum("pab,pqbc->pqac", R_p, B)
-    AB_t = t_p[:, None, :] + jnp.einsum("pab,pqb->pqa", R_p, tB)
-    C_R = jnp.swapaxes(R_p, -1, -2)  # [q, d, d] -> used at index q
-    C_t = -jnp.einsum("qba,qb->qa", R_p, t_p)
-    ABC_R = jnp.einsum("pqab,qbc->pqac", AB_R, C_R)
-    ABC_t = AB_t + jnp.einsum("pqab,qb->pqa", AB_R, C_t)
-    D_R = jnp.einsum("qba,pbc->qpac", Ri, Ri)  # [q, p]: R_iq^T R_ip
-    D_t = jnp.einsum("qba,pb->qpa", Ri, ti) - jnp.einsum(
-        "qba,qb->qa", Ri, ti)[:, None, :]
-    R_loop = jnp.einsum("pqab,qpbc->pqac", ABC_R, D_R)
-    t_loop = ABC_t + jnp.einsum("pqab,qpb->pqa", ABC_R, D_t)
-
-    if weighted:
-        kap = 0.5 * (kappa[:, None] + kappa[None, :])
-        ta = 0.5 * (tau[:, None] + tau[None, :])
-    else:
-        kap = jnp.ones((m, m))
-        ta = jnp.ones((m, m))
-    err = jnp.sqrt(
-        kap * jnp.sum((R_loop - jnp.eye(d)) ** 2, axis=(-1, -2))
-        + ta * jnp.sum(t_loop ** 2, axis=-1))
+    m = meas_t.shape[0]
+    if not weighted:
+        kappa = np.ones((m,))
+        tau = np.ones((m,))
+    A = (meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj)
+    err = loop_errors(A, A)
     adj = np.array(err <= tolerance)
     np.fill_diagonal(adj, False)
     return adj
@@ -200,3 +212,85 @@ def pcm_filter(meas: Measurements, num_nodes: int, t: np.ndarray,
         keep[es[~mask]] = False
 
     return meas.select(keep), keep
+
+
+class PCMSolver:
+    """Incremental PCM pipeline for one node pair.
+
+    Reproduces the reference's streaming interface
+    (PCM::PCMSolver<MCS, Evaluator>, PCM/PCM.hpp:99-191, and
+    DPGO::PCM::update, DPGO/PCM.h:43-52): measurements arrive in batches;
+    each `update` scores only the NEW measurements' loop errors against all
+    prior ones (one batched cross einsum — the incremental analog of
+    evaluate_consistency_with_prior_measurements) and extends the adjacency
+    matrix in place; `solve_exact` / `solve_heuristic` re-run max clique on
+    the accumulated adjacency (reference solveExact/solveHeuristic).
+    """
+
+    def __init__(self, opts: PCMOptions = PCMOptions()):
+        self.opts = opts
+        self._data = None        # accumulated oriented arrays (tuple)
+        self.adj = np.zeros((0, 0), dtype=bool)
+        self._results = None
+
+    @property
+    def num_measurements(self) -> int:
+        return self.adj.shape[0]
+
+    def update(self, meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj) -> int:
+        """Add a batch of alpha->beta oriented measurements with their
+        current endpoint pose estimates; extends the consistency adjacency
+        by the new rows/columns only. Returns the new measurement count."""
+        new = tuple(np.asarray(x) for x in
+                    (meas_R, meas_t, kappa, tau, ti, Ri, tj, Rj))
+        m_new = new[1].shape[0]
+        if m_new == 0:
+            return self.num_measurements
+        if not self.opts.weighted:
+            new = (new[0], new[1], np.ones(m_new), np.ones(m_new)) + new[4:]
+        if self._data is None:
+            self._data = new
+            err = np.asarray(loop_errors(new, new))
+            adj = err <= self.opts.tolerance
+            np.fill_diagonal(adj, False)
+            self.adj = adj
+        else:
+            old = self._data
+            cross = np.asarray(loop_errors(new, old)) <= self.opts.tolerance
+            inner = np.asarray(loop_errors(new, new)) <= self.opts.tolerance
+            np.fill_diagonal(inner, False)
+            m_old = self.adj.shape[0]
+            adj = np.zeros((m_old + m_new, m_old + m_new), dtype=bool)
+            adj[:m_old, :m_old] = self.adj
+            adj[m_old:, :m_old] = cross
+            adj[:m_old, m_old:] = cross.T
+            adj[m_old:, m_old:] = inner
+            self.adj = adj
+            self._data = tuple(np.concatenate([o, n], axis=0)
+                               for o, n in zip(old, new))
+        self._results = None
+        return self.num_measurements
+
+    def _solve(self, exact: bool) -> np.ndarray:
+        if self.num_measurements == 0:
+            return np.zeros(0, dtype=bool)
+        mask = None
+        if self.opts.native:
+            from dpgo_tpu.io.native import max_clique_native
+            mask = max_clique_native(self.adj, exact=exact)
+        if mask is None:
+            mask = max_clique_exact(self.adj) if exact \
+                else max_clique_heuristic(self.adj)
+        self._results = mask
+        return mask
+
+    def solve_exact(self) -> np.ndarray:
+        """Inlier mask over all measurements seen so far (exact clique)."""
+        return self._solve(True)
+
+    def solve_heuristic(self) -> np.ndarray:
+        return self._solve(False)
+
+    @property
+    def results(self) -> np.ndarray | None:
+        return self._results

@@ -98,11 +98,21 @@ class NodeProblem:
     mG00_d: jnp.ndarray      # [n0, n0]
     mG01_d: jnp.ndarray      # [n0, n0 d]
     mG11_d: jnp.ndarray      # [n0 d, n0 d]
-    # Dense regularized preconditioner (mG11 + (lambda_max/cond) I)^{-1}:
+    # Reduced (t-eliminated) rotation operator, materialized once:
+    # Hred = mG11 - mG10 mG00^{-1} mG01 (the exact Hessian of the reduced
+    # surrogate Q -> min_t G; the null response of mG00^{-1} is dropped
+    # because null_V^T mG01 = 0 exactly — intra columns telescope and
+    # null components only exist on blocks without inter edges). Collapses
+    # the STPCG Hessian-vector product from four matmuls + a solve
+    # (the reference's per-CG-iteration chain, DPGOProblem.cpp:552-577)
+    # to ONE batched MXU matmul.
+    Hred_d: jnp.ndarray        # [n0 d, n0 d] (zeros when not dense)
+    # Dense regularized preconditioner (Hred + (lambda_max/cond) I)^{-1}:
     # the role of the reference's RegularizedCholesky CHOLMOD factor
-    # (DPGOProblem.cpp:96-124). Block-Jacobi (precon_inv) cuts STPCG's
-    # per-iteration cost but needs ~50 CG iterations on these graphs; the
-    # dense inverse needs <10 at the cost of one extra matmul per iteration.
+    # (DPGOProblem.cpp:96-124) — but of the full reduced Hessian rather
+    # than the reference's mG11-only block, so STPCG converges in O(1)
+    # iterations (only the point-dependent curvature term and the tangent
+    # projection are left unpreconditioned).
     precon_dense: jnp.ndarray  # [n0 d, n0 d] (zeros when not dense)
 
     # Dynamic rescale (Rescale::Dynamic): persisted per-inter-edge surrogate
@@ -660,34 +670,35 @@ class NodeProblem:
         return g_Q + self.mG01_d.T @ t + self.mG11_d @ Q
 
     def hessian_vp_tall(self, Q, nablaQ, Qdot):
-        """Hessian-vector product for the STPCG inner loop.
+        """Hessian-vector product for the STPCG inner loop: one matmul with
+        the precomputed reduced operator Hred (see its field comment), plus
+        the point-dependent curvature correction and tangent projection.
 
-        Runs its matmuls at the fast (bf16-pass) MXU precision: truncated
+        Runs its matmul at the fast (bf16-pass) MXU precision: truncated
         Newton tolerates ~1e-3 relative Hessian error (the trust-region
         acceptance test evaluates the objective at full precision), and
-        these matvecs dominate the iteration cost."""
-        fast = jax.lax.Precision.DEFAULT
-        mm = lambda A, B: jnp.matmul(A, B, precision=fast)
-        tdot = -self._solve_mG00_fast(mm(self.mG01_d, Qdot), mm)
-        E = mm(self.mG01_d.T, tdot) + mm(self.mG11_d, Qdot)
+        this matvec dominates the iteration cost."""
+        E = jnp.matmul(self.Hred_d, Qdot,
+                       precision=jax.lax.Precision.DEFAULT)
         E = E - self.sym_block_tall(Qdot, Q, nablaQ)
         return self.proj_tall(Q, E)
-
-    def _solve_mG00_fast(self, rhs, mm):
-        # Hessian rhs = mG01 Qdot has exactly zero null component
-        # (nullV^T mG01 = 0), so the null response is dropped rather than
-        # reconstructed from 1e11-amplified rounding noise (see solve_mG00).
-        out = mm(self.Minv_red, rhs)
-        if self.dynamic:
-            corr = jnp.einsum("kl,la->ka", self.wood_C, out[self.ipose])
-            out = out - jnp.einsum("pk,ka->pa", self.SU, corr)
-        return out
 
     def precondition_tall(self, Q, V):
         # A preconditioner only needs to be a fixed SPD operator, so the
         # matmul runs at the fast MXU precision like the Hessian matvecs.
         P = jnp.matmul(self.precon_dense, V,
                        precision=jax.lax.Precision.DEFAULT)
+        return self.proj_tall(Q, P)
+
+    def precondition_tall_jacobi(self, Q, V):
+        """Block-Jacobi preconditioner in tall Q-storage (the reference's
+        Preconditioner::Jacobi option, DPGO_types.h:35-40). The per-pose
+        blocks precon_inv act on R-storage from the right; in Q = R^T
+        storage that is a left-multiply by the (symmetric) block."""
+        d = self.d
+        Vb = V.reshape(-1, d, d)
+        P = jnp.einsum("pab,pbc->pac", self.precon_inv,
+                       Vb).reshape(V.shape)
         return self.proj_tall(Q, P)
 
     def recover_translations_tall(self, Q, g_t, t_anchor=None):
@@ -785,7 +796,15 @@ def with_weights(base: NodeProblem, w_bar: jnp.ndarray) -> NodeProblem:
                         (2.0 * dw * base.e_tau)[:, None] * base.e_t, 0.0)
         mG01_d = base.mG01_d.at[es[:, None], c_idx[:, 0, :]].add(v01)
         mG00_d = base.mG00_d.at[es, es].add(2.0 * dw * base.e_tau)
-        repl.update(mG11_d=mG11_d, mG01_d=mG01_d, mG00_d=mG00_d)
+        # Reduced operator under the new weights: Hred = mG11 - mG10 X with
+        # X = mG00^{-1} mG01 via the base split inverse + the new Woodbury
+        # core (the diagonal weight delta lives at the inter poses only).
+        X = jnp.matmul(base.Minv_red, mG01_d)
+        corr = jnp.einsum("kl,la->ka", wood_C, X[base.ipose])
+        X = X - jnp.einsum("pk,ka->pa", base.SU, corr)
+        Hred_d = mG11_d - jnp.matmul(mG01_d.T, X)
+        repl.update(mG11_d=mG11_d, mG01_d=mG01_d, mG00_d=mG00_d,
+                    Hred_d=Hred_d)
 
     return dataclasses.replace(base, **repl)
 
@@ -938,6 +957,19 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         mG11_d = np.zeros((N, 1, 1))
         mG00_full = np.zeros((N, 1, 1))
 
+    # Reduced (t-eliminated) rotation operator Hred = mG11 - mG10 mG00^+ mG01
+    # (null response dropped: null_V^T mG01 = 0 exactly). Computed once in
+    # f64 on the host; the STPCG Hessian-vector product is then ONE matmul.
+    if dense:
+        nd = n0m * d
+        Hred_d = np.zeros((N, nd, nd))
+        for a in range(N):
+            X = Minv_red[a] @ mG01_d[a]
+            Hred_d[a] = mG11_d[a] - mG01_d[a].T @ X
+            Hred_d[a] = 0.5 * (Hred_d[a] + Hred_d[a].T)
+    else:
+        Hred_d = np.zeros((N, 1, 1))
+
     if dense:
         from dpgo_tpu.ops.eigen import lambda_max_lanczos
         for a in range(N):
@@ -947,15 +979,19 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     precon_inv = np.linalg.inv(jac_reg)
 
     # Dense regularized inverse preconditioner (reference RegularizedCholesky
-    # role): computed once at setup in f64, applied as one matmul per STPCG
-    # iteration. Stays fixed under dynamic rescale (w <= 1 only shrinks mG11,
+    # role, DPGOProblem.cpp:96-124 — but of the full reduced Hessian Hred
+    # instead of the reference's mG11-only block): computed once at setup in
+    # f64, applied as one matmul per STPCG iteration. With it, CG only has to
+    # correct for the curvature term + tangent projection — O(1) iterations.
+    # Stays fixed under dynamic rescale (w <= 1 only shrinks the operator,
     # so the base inverse remains a valid SPD preconditioner; the reference
     # refactorizes instead, DPGOProblem.cpp:751-840).
     if dense:
-        nd = n0m * d
         precon_dense = np.zeros((N, nd, nd))
         for a in range(N):
-            precon_dense[a] = np.linalg.inv(mG11_d[a] + reg[a] * np.eye(nd))
+            lam_h = lambda_max_lanczos(Hred_d[a], seed=1000 + a)
+            precon_dense[a] = np.linalg.inv(
+                Hred_d[a] + (lam_h / precon_cond) * np.eye(nd))
     else:
         precon_dense = np.zeros((N, 1, 1))
 
@@ -983,7 +1019,8 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         Minv_red=cast(Minv_red), null_V=cast(null_V),
         precon_inv=cast(precon_inv),
         dense=dense, mG00_d=cast(mG00_full), mG01_d=cast(mG01_d),
-        mG11_d=cast(mG11_d), precon_dense=cast(precon_dense),
+        mG11_d=cast(mG11_d), Hred_d=cast(Hred_d),
+        precon_dense=cast(precon_dense),
         dynamic=False, scale_w=jnp.ones((N, mg.m1_max), dtype),
         ipose=jnp.asarray(ipose), imask=jnp.asarray(imask),
         SU=cast(SU), wood_C=jnp.zeros((N, kmax, kmax), dtype),

@@ -29,7 +29,6 @@ from dpgo_tpu.manifold import proj_tangent, project_sod
 from dpgo_tpu.problem import NodeProblem, NodeState
 from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt, tnt_generic
 
-OSC_BUF = 17  # oscillation_cnt_period (15) + 2
 
 
 @dataclasses.dataclass(frozen=True)
@@ -64,6 +63,13 @@ class MMOptions:
     # unchanged; f32 cancellation error drops from graph-diameter to
     # block-diameter scale. None = auto (on in f32, off in f64).
     local_gauge: bool | None = None
+    # STPCG preconditioner for the TNT refinement — the reference's
+    # Preconditioner enum (DPGO_types.h:35-40): "none" | "jacobi" |
+    # "dense" (the regularized reduced-Hessian inverse = the
+    # RegularizedCholesky role; also covers IncompleteCholesky's role —
+    # sparse triangular solves don't map to the TPU). None = auto: "dense"
+    # when the dense operator path is built, else "jacobi".
+    preconditioner: str | None = None
     eta0: float = 5e-4
     eta1: float = 2.5e-2
     psi: float = 1e-10
@@ -125,7 +131,7 @@ class MMState(NamedTuple):
     gamma: jnp.ndarray
     hits0: jnp.ndarray      # [N] int32
     hits1: jnp.ndarray
-    osc_buf: jnp.ndarray    # [N, OSC_BUF] int32, newest last
+    osc_buf: jnp.ndarray    # [N, oscillation_cnt_period + 2] int32, newest last
     num_osc: jnp.ndarray    # [N] int32
     # Dynamic rescale (robust losses): persisted surrogate weights + counter.
     scale_w: jnp.ndarray       # [N, m1]
@@ -177,7 +183,9 @@ def init_state(probs: NodeProblem, Z: NodeState,
         s=jnp.ones((N,), Z.t.dtype), s_next=jnp.ones((N,), Z.t.dtype),
         gamma=zeros,
         hits0=jnp.zeros((N,), jnp.int32), hits1=jnp.zeros((N,), jnp.int32),
-        osc_buf=jnp.ones((N, OSC_BUF), jnp.int32),
+        osc_buf=jnp.ones(
+            (N, (opts.oscillation_cnt_period if opts is not None else 15)
+             + 2), jnp.int32),
         num_osc=jnp.zeros((N,), jnp.int32),
         scale_w=jnp.ones_like(probs.scale_w),
         rescale_count=jnp.zeros((N,), jnp.int32),
@@ -226,9 +234,9 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
         st = st._replace(scale_w=scale_w, rescale_count=rescale_count)
         probs = reweighted_problems(probs, st, opts)
 
-    assert opts.oscillation_cnt_period + 2 == OSC_BUF, (
-        "oscillation window is fixed at OSC_BUF - 2; resize MMState.osc_buf "
-        "to change it")
+    assert opts.oscillation_cnt_period + 2 == st.osc_buf.shape[-1], (
+        "state was initialized with a different oscillation_cnt_period; "
+        "re-run init_state with these options")
     telescoped = opts.telescoped
     if telescoped is None:
         telescoped = st.Z.t.dtype == jnp.float64
@@ -316,7 +324,8 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
 # -------------------------------------------------------------- TNT plumbing
 
 
-def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None) -> TNTModel:
+def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None,
+                    precon: str = "jacobi") -> TNTModel:
     def objective(x):
         return p.evaluate_G(x[0], x[1], (g_t, g_R), f)
 
@@ -327,8 +336,10 @@ def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None) -> TNTModel:
     def hess_vp(x, nabla, v):
         return p.reduced_hessian_vp(x[1], nabla, v)
 
-    def precondition(x, v):
-        return p.precondition(x[1], v)
+    if precon == "none":
+        precondition = lambda x, v: v
+    else:  # block-Jacobi (the only cheap option on the edge-wise path)
+        precondition = lambda x, v: p.precondition(x[1], v)
 
     def retract(x, h):
         R_new = project_sod(x[1] + h)
@@ -340,7 +351,7 @@ def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None) -> TNTModel:
 
 
 def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
-                          t_anchor=None) -> TNTModel:
+                          t_anchor=None, precon: str = "dense") -> TNTModel:
     """Dense MXU TNT model in tall Q-storage (variable (t, Q [n d, d]))."""
 
     def objective(x):
@@ -353,8 +364,12 @@ def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
     def hess_vp(x, nabla, v):
         return p.hessian_vp_tall(x[1], nabla, v)
 
-    def precondition(x, v):
-        return p.precondition_tall(x[1], v)
+    if precon == "none":
+        precondition = lambda x, v: v
+    elif precon == "jacobi":
+        precondition = lambda x, v: p.precondition_tall_jacobi(x[1], v)
+    else:  # "dense": regularized reduced-Hessian inverse
+        precondition = lambda x, v: p.precondition_tall(x[1], v)
 
     def retract(x, h):
         Qb = (x[1] + h).reshape(-1, p.d, p.d)
@@ -366,18 +381,31 @@ def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
                     retract=retract)
 
 
+def resolve_preconditioner(probs, opts: MMOptions) -> str:
+    kind = opts.preconditioner
+    if kind is None:
+        return "dense" if probs.dense else "jacobi"
+    if kind not in ("none", "jacobi", "dense"):
+        raise ValueError(f"unknown preconditioner {kind!r}")
+    if kind == "dense" and not probs.dense:
+        raise ValueError("preconditioner='dense' needs the dense operator "
+                         "path (raise dense_limit)")
+    return kind
+
+
 def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
-               t_anchor=None):
+               t_anchor=None, precon: str = "dense"):
     if t_anchor is None:
         t_anchor = jnp.zeros_like(t0)
     if probs.dense:
         def one(p, t, R, gt, gR, fv, ta):
-            model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta)
+            model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta,
+                                          precon)
             x, fx, _, _ = tnt_generic(model, (t, p.to_tall(R)), params)
             return x[0], p.from_tall(x[1]), fx
     else:
         def one(p, t, R, gt, gR, fv, ta):
-            model = _make_tnt_model(p, gt, gR, fv, ta)
+            model = _make_tnt_model(p, gt, gR, fv, ta, precon)
             tn, Rn, fx, _, _ = tnt(model, t, R, params)
             return tn, Rn, fx
 
@@ -385,7 +413,7 @@ def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
 
 
 def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
-                fallback_G, t_anchor=None):
+                fallback_G, t_anchor=None, precon: str = "dense"):
     """Run batched TNT only if any node needs it; select per node by mask.
     Returns (t, R, G value at result).
 
@@ -398,7 +426,7 @@ def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
 
     def run(_):
         tn, Rn, fx = _tnt_batch(probs, t0, R0, g_t, g_R, f, params,
-                                t_anchor)
+                                t_anchor, precon)
         return (jnp.where(mask[:, None, None], tn, t0),
                 jnp.where(mask[:, None, None, None], Rn, R0),
                 jnp.where(mask, fx, fallback_G))
@@ -407,6 +435,68 @@ def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
         return t0, R0, fallback_G
 
     return lax.cond(jnp.any(mask), run, skip, operand=None)
+
+
+def refine_probe(probs, st: MMState, opts: MMOptions):
+    """Re-run the AMM step's TNT refinement for the current state with full
+    per-outer-iteration recording (the reference's TNTResult series,
+    TNT.h:168-194) — the profiling window into the refined path's cost.
+
+    Replays iterate_amm's extrapolation + proximal to reconstruct the exact
+    TNT inputs of the next step, then runs the batched TNT with record=True
+    for ALL nodes (ignoring the refinement gate, which is returned so the
+    caller can mask). Returns (refined_mask [N] bool, TNTHistory with leading
+    node axis). Diagnostic only — not part of the hot path.
+    """
+    from dpgo_tpu.losses import Loss
+
+    gamma = st.gamma
+
+    def extrap(cur, prev):
+        g = gamma.reshape((-1,) + (1,) * (cur.ndim - 1))
+        return cur + g * (cur - prev)
+
+    Y = jax.tree.map(extrap, st.Z, st.Z_prev)
+    if probs.loss is Loss.TRIVIAL:
+        g_t_ex = extrap(st.g_t, st.g_t_prev)
+        g_R_ex = extrap(st.g_R, st.g_R_prev)
+        Df_t_ex = extrap(st.Df_t, st.Df_t_prev)
+        Df_R_ex = extrap(st.Df_R, st.Df_R_prev)
+    else:
+        def reeval(p, Yn):
+            g, _ = p.surrogate_g_f(Yn)
+            Df = p.euclidean_Df(Yn, g=g)
+            return g[0], g[1], Df[0], Df[1]
+
+        g_t_ex, g_R_ex, Df_t_ex, Df_R_ex = jax.vmap(reeval)(probs, Y)
+
+    refined = (((st.gradFnorm * st.gradFnorm / st.fobj) > opts.accepted_delta)
+               | (st.num_osc >= opts.max_oscillations))
+
+    th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
+        probs, Y, Df_t_ex, Df_R_ex)
+    t_c = jax.vmap(lambda p, R, gt, ta: p.recover_translations(R, gt, ta))(
+        probs, th_R, g_t_ex, Y.t)
+
+    params = opts.tnt
+    if params.max_iterations <= 0:
+        params = dataclasses.replace(params, max_iterations=10)
+    precon_kind = resolve_preconditioner(probs, opts)
+
+    if probs.dense:
+        def one(p, t, R, gt, gR, fv, ta):
+            model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta,
+                                          precon_kind)
+            out = tnt_generic(model, (t, p.to_tall(R)), params, record=True)
+            return out[4]
+    else:
+        def one(p, t, R, gt, gR, fv, ta):
+            model = _make_tnt_model(p, gt, gR, fv, ta, precon_kind)
+            out = tnt_generic(model, (t, R), params, record=True)
+            return out[4]
+
+    hist = jax.vmap(one)(probs, t_c, th_R, g_t_ex, g_R_ex, st.f, Y.t)
+    return refined, hist
 
 
 # -------------------------------------------------------------------- iterate
@@ -471,6 +561,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
                | (st.num_osc >= opts.max_oscillations))
     if opts.tnt.max_iterations <= 0 or opts.tnt.max_iterations_accepted <= 0:
         refined = jnp.zeros_like(refined)
+    precon_kind = resolve_preconditioner(probs, opts)
 
     # Proximal step from the extrapolated point (Xakh).
     th_t, th_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
@@ -497,7 +588,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         Gkh = _eval_G_batch(probs, st, th_t, th_R, zres)
         Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex,
                                       st.f, refined, opts.tnt, Gkh,
-                                      t_anchor=Y.t)
+                                      t_anchor=Y.t, precon=precon_kind)
         Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     # Exceptional-path cascade (DPGOHash.cpp:386-441): the proximal retry,
@@ -538,7 +629,7 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # value; restart & ~refined keep the evaluated proximal value.
         rt_t, rt_R, _ = _masked_tnt(
             probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined,
-            opts.tnt, r_G, t_anchor=st.Z.t)
+            opts.tnt, r_G, t_anchor=st.Z.t, precon=precon_kind)
         # Re-evaluate in the stable relative form (TNT's internal objective
         # is the absolute dense form, fine for its own accept/reject ratios
         # but too coarse in f32 to feed the restart comparisons).
@@ -592,7 +683,8 @@ def iterate_mm(probs: NodeProblem, st: MMState, opts: MMOptions,
     zres = _anchor_residuals_batch(probs, st)
     G0 = _eval_G_batch(probs, st, t_c, th_R, zres)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
-                                  refined, opts.tnt, G0, t_anchor=st.Z.t)
+                                  refined, opts.tnt, G0, t_anchor=st.Z.t,
+                                  precon=resolve_preconditioner(probs, opts))
     Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)

@@ -150,18 +150,22 @@ def _rigid_coarse_correction(hess_vp_fn, nabla, x0, block_of, num_blocks,
 
     # Galerkin coarse operator via a chunked vmapped Hessian pass over the
     # basis (chunking bounds the [NK, P, d, d] intermediates for fine
-    # levels, where NK reaches a few thousand).
+    # levels, where NK reaches a few thousand). Each chunk's one-hot
+    # coefficient block is generated on the fly from its index range —
+    # never materializing the full [n_pad, n] identity (~GB at a
+    # 1024-segment 3-D level).
     n = N * K
     n_pad = ((n + chunk - 1) // chunk) * chunk
-    eye = jnp.eye(n_pad, n, dtype=t0.dtype).reshape(n_pad // chunk, chunk,
-                                                    N, K)
 
-    def one_chunk(coefs):
+    def one_chunk(ci):
+        idx = ci * chunk + jnp.arange(chunk)
+        coefs = jax.nn.one_hot(idx, n, dtype=t0.dtype).reshape(chunk, N, K)
         Vt, VR = jax.vmap(P_apply)(coefs)
         HV = jax.vmap(lambda vt, vR: hess_vp_fn(x0, nabla, (vt, vR)))(Vt, VR)
         return jax.vmap(lambda ht, hR: P_adj((ht, hR)).reshape(-1))(*HV)
 
-    A = jax.lax.map(one_chunk, eye).reshape(n_pad, n)[:n]
+    A = jax.lax.map(one_chunk,
+                    jnp.arange(n_pad // chunk)).reshape(n_pad, n)[:n]
     A = 0.5 * (A + A.T)
     lam, Q = jnp.linalg.eigh(A)
     lam_max = jnp.maximum(lam[-1], 1e-30)

@@ -28,7 +28,8 @@ from jax import lax
 
 from dpgo_tpu.manifold import proj_tangent
 from dpgo_tpu.problem import NodeProblem, NodeState
-from dpgo_tpu.solvers.mm import (MMOptions, _eval_G_batch, _masked_tnt)
+from dpgo_tpu.solvers.mm import (MMOptions, _eval_G_batch, _masked_tnt,
+                                 resolve_preconditioner)
 
 
 class StarState(NamedTuple):
@@ -154,8 +155,10 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     Xh_t, Xh_R = prox(probs, Y, Df_t_ex, Df_R_ex)
     tp = recov(probs, Xh_R, g_t_ex, Y.t)
     G0 = _eval_G_batch(probs, st, tp, Xh_R, zres)
+    precon_kind = resolve_preconditioner(probs, opts)
     Xp_t, Xp_R, _ = _masked_tnt(probs, tp, Xh_R, g_t_ex, g_R_ex, st.f,
-                                refined, opts.tnt, G0, t_anchor=Y.t)
+                                refined, opts.tnt, G0, t_anchor=Y.t,
+                                precon=precon_kind)
 
     def sqdiff(at, aR, bt, bR):
         return (jnp.sum((at - bt) ** 2) + jnp.sum((aR - bR) ** 2))
@@ -181,7 +184,8 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
         t2 = recov(probs, Xh_R, st.g_t, st.Z.t)
         G2 = _eval_G_batch(probs, st, t2, Xh_R, zres)
         t3, R3, _ = _masked_tnt(probs, t2, Xh_R, st.g_t, st.g_R, st.f,
-                                refined, opts.tnt, G2, t_anchor=st.Z.t)
+                                refined, opts.tnt, G2, t_anchor=st.Z.t,
+                                precon=precon_kind)
         return (t3, R3, global_f_fn(t3, R3),
                 jnp.maximum(0.5 * s_next, 1.0))
 

@@ -11,16 +11,25 @@ axis.
 Generic over pytree variables and tangent vectors: for DPGO the variable is
 (t [n, d], R [n, d, d]) with rotation-space tangents; for SE-Sync the
 variable is a Stiefel-product block Y [n, r, d] with its own tangents.
+
+Instrumentation (reference TNT.h:35-71 user hook and TNT.h:168-194 result
+series): `record=True` returns a TNTHistory of per-outer-iteration
+(f, |grad|, |Pgrad|, Delta, inner CG iterations, step M-norm, rho, accepted)
+ring buffers, written device-side inside the loop; `user_fn` is a host
+callback invoked once per outer iteration with the same quantities (plus the
+candidate step), whose boolean return forces early termination — the
+TNTUserFunction semantics. user_fn runs via jax.pure_callback (sequential
+under vmap; intended for host-driven solvers: polish, SE-Sync staircase).
 """
 
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -68,6 +77,22 @@ class TNTModel(NamedTuple):
     retract: Callable
 
 
+class TNTHistory(NamedTuple):
+    """Per-outer-iteration series (ring buffers of length max_iterations;
+    entries [0, count) are valid). The on-device analog of the reference's
+    TNTResult vectors (TNT.h:168-194, DPGO_types.h:280-297)."""
+
+    fx: jnp.ndarray          # objective BEFORE the iteration's step
+    gradnorm: jnp.ndarray
+    pgradnorm: jnp.ndarray
+    Delta: jnp.ndarray
+    inner_iterations: jnp.ndarray  # STPCG iteration count (int32)
+    h_M_norm: jnp.ndarray    # step norm in the preconditioner metric
+    rho: jnp.ndarray         # gain ratio
+    accepted: jnp.ndarray    # bool
+    count: jnp.ndarray       # scalar int32: valid entries
+
+
 def _ip(a, b):
     """Frobenius inner product over arbitrary pytrees of arrays."""
     la = jax.tree.leaves(a)
@@ -88,14 +113,18 @@ def _sel(pred, a, b):
     return jax.tree.map(lambda x, y: jnp.where(pred, x, y), a, b)
 
 
-def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
+def stpcg(grad, hess_vp, precon, Delta, params: TNTParams, v0=None):
     """Steihaug-Toint truncated preconditioned CG (IterativeSolvers.h:166-450).
 
-    Returns (step, step_M_norm, num_iterations). hess_vp/precon close over the
-    current iterate.
+    Returns (step, H @ step, step_M_norm, num_iterations). hess_vp/precon
+    close over the current iterate. `v0` optionally supplies precon(grad)
+    when the caller has already computed it (saves one application).
+    The H @ step product is accumulated alongside the step so the caller's
+    model-decrease evaluation costs no extra Hessian-vector product.
     """
     eps = 1e-8
-    v0 = precon(grad)
+    if v0 is None:
+        v0 = precon(grad)
     r0v0 = _ip(grad, v0)
     r0_norm = jnp.sqrt(r0v0)
     target = r0_norm * jnp.minimum(params.kappa_fgr, r0_norm ** params.theta)
@@ -103,6 +132,7 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
 
     class S(NamedTuple):
         s: object
+        Hs: object
         r: object
         v: object
         p: object
@@ -113,7 +143,8 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
         done: jnp.ndarray
         norm_out: jnp.ndarray  # final |s|_M (set on boundary exits)
 
-    init = S(s=_scale(0.0, grad), r=grad, v=v0, p=_scale(-1.0, v0),
+    zero = _scale(0.0, grad)
+    init = S(s=zero, Hs=zero, r=grad, v=v0, p=_scale(-1.0, v0),
              sk_M_pk=jnp.zeros_like(r0v0), sk_M_2=jnp.zeros_like(r0v0),
              pk_M_2=r0v0, k=jnp.zeros((), jnp.int32),
              done=(r0_norm <= target) | (r0_norm == 0.0),
@@ -135,17 +166,22 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
 
         # Kernel exit: follow p (sign-fixed to descent) to the boundary.
         p_desc = jnp.where(_ip(st.p, st.r) < 0, -1.0, 1.0)
-        s_kernel = _axpy(sigma_of(st.sk_M_pk * p_desc) * p_desc, st.p, st.s)
+        sigma_kernel = sigma_of(st.sk_M_pk * p_desc) * p_desc
+        s_kernel = _axpy(sigma_kernel, st.p, st.s)
+        Hs_kernel = _axpy(sigma_kernel, Hp, st.Hs)
 
         rv = _ip(st.r, st.v)
         alpha = rv / kappa_k
         sk1_M_2 = st.sk_M_2 + 2 * alpha * st.sk_M_pk \
             + alpha * alpha * st.pk_M_2
         bad = (kappa_k <= 0) | (sk1_M_2 > Delta2)
-        s_boundary = _axpy(sigma_of(st.sk_M_pk), st.p, st.s)
+        sigma_b = sigma_of(st.sk_M_pk)
+        s_boundary = _axpy(sigma_b, st.p, st.s)
+        Hs_boundary = _axpy(sigma_b, Hp, st.Hs)
 
         # Interior CG update.
         s_new = _axpy(alpha, st.p, st.s)
+        Hs_new = _axpy(alpha, Hp, st.Hs)
         r_new = _axpy(alpha, Hp, st.r)
         v_new = precon(r_new)
         rv_new = _ip(r_new, v_new)
@@ -157,9 +193,11 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
 
         exit_boundary = in_kernel | bad
         s_exit = _sel(in_kernel, s_kernel, s_boundary)
+        Hs_exit = _sel(in_kernel, Hs_kernel, Hs_boundary)
 
         return S(
             s=_sel(exit_boundary, s_exit, s_new),
+            Hs=_sel(exit_boundary, Hs_exit, Hs_new),
             r=_sel(exit_boundary, st.r, r_new),
             v=_sel(exit_boundary, st.v, v_new),
             p=_sel(exit_boundary, st.p, p_new),
@@ -173,7 +211,7 @@ def stpcg(grad, hess_vp, precon, Delta, params: TNTParams):
 
     out = lax.while_loop(cond, body, init)
     norm = jnp.where(out.norm_out > 0, out.norm_out, jnp.sqrt(out.sk_M_2))
-    return out.s, norm, out.k
+    return out.s, out.Hs, norm, out.k
 
 
 class TNTState(NamedTuple):
@@ -181,21 +219,40 @@ class TNTState(NamedTuple):
     fx: jnp.ndarray
     grad: object
     nabla: object
+    pgrad: object
     gradnorm: jnp.ndarray
     pgradnorm: jnp.ndarray
     Delta: jnp.ndarray
     k: jnp.ndarray
     accepted: jnp.ndarray
     done: jnp.ndarray
+    hist: TNTHistory
 
 
-def tnt_generic(model: TNTModel, x0, params: TNTParams):
-    """Run TNT from pytree variable x0.
+def _empty_history(max_iterations: int, dtype) -> TNTHistory:
+    m = max_iterations
+    z = jnp.zeros((m,), dtype)
+    return TNTHistory(fx=z, gradnorm=z, pgradnorm=z, Delta=z,
+                      inner_iterations=jnp.zeros((m,), jnp.int32),
+                      h_M_norm=z, rho=z,
+                      accepted=jnp.zeros((m,), bool),
+                      count=jnp.zeros((), jnp.int32))
 
-    Returns (x, fx, gradnorm, num_accepted). Faithful to TNT.h:422-640.
+
+def tnt_generic(model: TNTModel, x0, params: TNTParams,
+                record: bool = False, user_fn: Callable | None = None):
+    """Run TNT from pytree variable x0. Faithful to TNT.h:422-640.
+
+    Returns (x, fx, gradnorm, num_accepted), plus a TNTHistory as a fifth
+    element when `record=True`. `user_fn(**stats) -> bool` is the reference
+    TNTUserFunction hook (TNT.h:35-71): called on the host once per outer
+    iteration with keyword stats (k, fx, gradnorm, pgradnorm, Delta,
+    inner_iterations, h_M_norm, rho, accepted, all 0-d numpy) — returning
+    True terminates the solve after the current iteration.
     """
     dtype = jax.tree.leaves(x0)[0].dtype
     sqrt_eps = jnp.sqrt(jnp.finfo(dtype).eps)
+    rec = record or (user_fn is not None)
 
     def eval_at(x):
         fx = model.objective(x)
@@ -203,14 +260,16 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams):
         gradnorm = jnp.sqrt(_ip(grad, grad))
         pg = model.precondition(x, grad)
         pgradnorm = jnp.sqrt(_ip(pg, pg))
-        return fx, grad, nabla, gradnorm, pgradnorm
+        return fx, grad, nabla, pg, gradnorm, pgradnorm
 
-    fx0, grad0, nabla0, gn0, pgn0 = eval_at(x0)
+    fx0, grad0, nabla0, pg0, gn0, pgn0 = eval_at(x0)
     init = TNTState(
-        x=x0, fx=fx0, grad=grad0, nabla=nabla0, gradnorm=gn0,
+        x=x0, fx=fx0, grad=grad0, nabla=nabla0, pgrad=pg0, gradnorm=gn0,
         pgradnorm=pgn0, Delta=jnp.asarray(params.Delta0, dtype),
         k=jnp.zeros((), jnp.int32), accepted=jnp.zeros((), jnp.int32),
-        done=jnp.zeros((), bool))
+        done=jnp.zeros((), bool),
+        hist=_empty_history(max(params.max_iterations, 1) if rec else 0,
+                            dtype))
 
     def cond(st: TNTState):
         return ((~st.done) & (st.k < params.max_iterations)
@@ -221,26 +280,27 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams):
                       | (st.pgradnorm
                          < params.preconditioned_gradient_tolerance))
 
-        h, h_M_norm, _ = stpcg(
+        h, Hh, h_M_norm, inner_k = stpcg(
             st.grad,
             lambda v: model.hess_vp(st.x, st.nabla, v),
             lambda v: model.precondition(st.x, v),
-            st.Delta, params)
+            st.Delta, params, v0=st.pgrad)
         h_norm = jnp.sqrt(_ip(h, h))
 
         x_prop = model.retract(st.x, h)
         fx_prop = model.objective(x_prop)
-        dm = -_ip(st.grad, h) - 0.5 * _ip(h, model.hess_vp(st.x, st.nabla, h))
+        dm = -_ip(st.grad, h) - 0.5 * _ip(h, Hh)
         df = st.fx - fx_prop
         rel_decrease = df / (sqrt_eps + jnp.abs(st.fx))
         rho = df / dm
         step_ok = (~jnp.isnan(rho)) & (rho > params.eta1)
 
-        fx_n, grad_n, nabla_n, gn_n, pgn_n = eval_at(x_prop)
+        fx_n, grad_n, nabla_n, pg_n, gn_n, pgn_n = eval_at(x_prop)
         x_new = _sel(step_ok, x_prop, st.x)
         fx_new = jnp.where(step_ok, fx_prop, st.fx)
         grad_new = _sel(step_ok, grad_n, st.grad)
         nabla_new = _sel(step_ok, nabla_n, st.nabla)
+        pg_new = _sel(step_ok, pg_n, st.pgrad)
         gn_new = jnp.where(step_ok, gn_n, st.gradnorm)
         pgn_new = jnp.where(step_ok, pgn_n, st.pgradnorm)
 
@@ -256,20 +316,58 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams):
         stop_delta = (~step_ok) & (Delta_new < params.Delta_tolerance)
 
         keep = ~grad_small
+        took = keep & step_ok
+
+        hist = st.hist
+        if rec:
+            i = st.k
+            upd = lambda a, v: a.at[i].set(jnp.where(keep, v, a[i]))
+            hist = TNTHistory(
+                fx=upd(hist.fx, st.fx),
+                gradnorm=upd(hist.gradnorm, st.gradnorm),
+                pgradnorm=upd(hist.pgradnorm, st.pgradnorm),
+                Delta=upd(hist.Delta, st.Delta),
+                inner_iterations=upd(hist.inner_iterations, inner_k),
+                h_M_norm=upd(hist.h_M_norm, h_M_norm),
+                rho=upd(hist.rho, rho),
+                accepted=upd(hist.accepted, took),
+                count=hist.count + keep.astype(jnp.int32),
+            )
+
+        done = grad_small | stop_rel | stop_step | stop_delta
+        if user_fn is not None:
+            def _call(live, k, fx, gn, pgn, Delta, ik, hM, rho_, acc):
+                if not bool(live):  # gradient-tolerance exit: no user call
+                    return np.bool_(False)
+                return np.bool_(bool(user_fn(
+                    k=k, fx=fx, gradnorm=gn, pgradnorm=pgn, Delta=Delta,
+                    inner_iterations=ik, h_M_norm=hM, rho=rho_,
+                    accepted=acc)))
+
+            stop_user = jax.pure_callback(
+                _call, jax.ShapeDtypeStruct((), np.bool_),
+                keep, st.k, fx_new, gn_new, pgn_new, Delta_new, inner_k,
+                h_M_norm, rho, took, vmap_method="sequential")
+            done = done | stop_user
+
         return TNTState(
             x=_sel(keep, x_new, st.x),
             fx=jnp.where(keep, fx_new, st.fx),
             grad=_sel(keep, grad_new, st.grad),
             nabla=_sel(keep, nabla_new, st.nabla),
+            pgrad=_sel(keep, pg_new, st.pgrad),
             gradnorm=jnp.where(keep, gn_new, st.gradnorm),
             pgradnorm=jnp.where(keep, pgn_new, st.pgradnorm),
             Delta=jnp.where(keep, Delta_new, st.Delta),
             k=st.k + 1,
-            accepted=st.accepted + (keep & step_ok),
-            done=grad_small | stop_rel | stop_step | stop_delta,
+            accepted=st.accepted + took,
+            done=done,
+            hist=hist,
         )
 
     out = lax.while_loop(cond, body, init)
+    if record:
+        return out.x, out.fx, out.gradnorm, out.accepted, out.hist
     return out.x, out.fx, out.gradnorm, out.accepted
 
 

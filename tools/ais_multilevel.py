@@ -93,9 +93,12 @@ def main():
 
     if args.diag:
         # Per-outer diagnostics: one TNT outer iteration at a time (python
-        # loop; preconditioner rebuilt once per chunk like the jitted path),
-        # printing CG iterations / trust radius / rho to attribute stalls to
-        # CG truncation vs trust-region limiting vs negative curvature.
+        # loop), printing CG iterations / trust radius / rho to attribute
+        # stalls to CG truncation vs trust-region limiting vs negative
+        # curvature. NOTE: the preconditioner is rebuilt every outer
+        # iteration here (it closes over the current point), unlike chunk
+        # mode which rebuilds once per chunk — diag runs are a diagnostic,
+        # not an apples-to-apples timing proxy for chunk mode.
         from dpgo_tpu.solvers.tnt import stpcg, _ip
 
         @jax.jit
@@ -107,18 +110,20 @@ def main():
             fx = model.objective(x)
             grad, nabla = model.grad_and_nabla(x)
             gn = jnp.sqrt(_ip(grad, grad))
-            h, h_M, k = stpcg(grad, lambda v: model.hess_vp(x, nabla, v),
-                              lambda v: model.precondition(x, v), Delta,
-                              params)
+            h, Hh, h_M, k = stpcg(grad,
+                                  lambda v: model.hess_vp(x, nabla, v),
+                                  lambda v: model.precondition(x, v), Delta,
+                                  params)
             xp = model.retract(x, h)
             fxp = model.objective(xp)
-            dm = -_ip(grad, h) - 0.5 * _ip(h, model.hess_vp(x, nabla, h))
+            dm = -_ip(grad, h) - 0.5 * _ip(h, Hh)
             rho = (fx - fxp) / dm
             on_boundary = h_M > 0.99 * Delta
             return xp[0], xp[1], fx, fxp, gn, k, rho, on_boundary, h_M
 
         Delta = jnp.asarray(1e5 if args.Delta0 <= 0 else args.Delta0,
                             jnp.float64)
+        fx_acc = f0 / 2.0
         for it in range(args.chunks * args.outer):
             t0 = time.time()
             tn, Rn, fx, fxp, gn, k, rho, bnd, h_M = outer_step(t, R, Delta)
@@ -126,14 +131,17 @@ def main():
             ok = np.isfinite(rho) and rho > 1e-4
             if ok:
                 t, R = tn, Rn
+                fx_acc = float(fxp)
+            # Standard trust-region update: grow on very successful steps,
+            # shrink on rejected AND on accepted-but-poor (rho < 0.25) steps.
             if rho >= 0.9:
                 Delta = jnp.maximum(4.0 * h_M, Delta)
-            elif not ok:
+            elif not ok or rho < 0.25:
                 Delta = 0.25 * h_M
             print(f"outer {it}: 2f={2*float(fx):.12g} 2|g|={2*float(gn):.3e}"
                   f" cg={int(k)} rho={rho:.3f} bnd={bool(bnd)}"
                   f" Delta={float(Delta):.2e} ({time.time()-t0:.1f}s)")
-        fx = float(fxp)
+        fx = fx_acc
     else:
         @jax.jit
         def chunk(t, R):
