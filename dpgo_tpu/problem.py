@@ -666,6 +666,31 @@ class NodeProblem:
             + jnp.sum(Q * (self.mG11_d @ Q))
         return 0.5 * quad + jnp.sum(g_t * t) + jnp.sum(g_Q * Q) + f
 
+    def evaluate_G_tall_rel(self, t, Q, zt, zQ, g_t, g_Q, fobj):
+        """f32-stable relative surrogate value in tall storage, anchored at
+        the MM anchor Z (where G(Z|Z) = fobj by tangency):
+
+            G(X) = fobj + 1/2 <G (X+Z), X-Z> + <g, X-Z>
+
+        — exact by symmetry of G, and its rounding error scales with
+        |X - Z| instead of the absolute objective. The absolute quad form's
+        f32 cancellation noise (~1e-3 at sphere2500 scale) swamps the
+        late Newton steps' true decreases and turns TNT's gain ratio into
+        noise (observed: rho = -2337 / +1519 rejections burning all 10
+        outer iterations per refinement). All dense MXU matmuls."""
+        # Full working precision (not the bf16 MXU pass): the objective is
+        # evaluated twice per TNT outer iteration and its accuracy decides
+        # accept/reject — bf16 noise here re-creates the rho-noise rejection
+        # storm the relative form exists to prevent.
+        hi = jax.lax.Precision.HIGHEST
+        mm = lambda A, B: jnp.matmul(A, B, precision=hi)
+        dt, dQ = t - zt, Q - zQ
+        st_, sQ = t + zt, Q + zQ
+        Gt = mm(self.mG00_d, st_) + mm(self.mG01_d, sQ)
+        GQ = mm(self.mG01_d.T, st_) + mm(self.mG11_d, sQ)
+        return (fobj + 0.5 * (jnp.sum(Gt * dt) + jnp.sum(GQ * dQ))
+                + jnp.sum(g_t * dt) + jnp.sum(g_Q * dQ))
+
     def reduced_grad_tall(self, t, Q, g_Q):
         return g_Q + self.mG01_d.T @ t + self.mG11_d @ Q
 

@@ -124,56 +124,65 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
     else:
         proj = lambda X: X
 
-    X = ortho(proj(jax.random.normal(key, (nd, block), dtype)))
-    P = jnp.zeros_like(X)
+    X0 = ortho(proj(jax.random.normal(key, (nd, block), dtype)))
+    budget = iters if resid_tol is None else max_iters
 
-    def body(k, carry):
-        X, P = carry
-        SX = apply_S(X)
+    # One jitted device-side while_loop for the whole solve: body does one
+    # LOBPCG iteration, the convergence test runs on device (no per-chunk
+    # host syncs), and S X is carried across iterations (S X_{k+1} =
+    # (S Q) U comes free from the Rayleigh-Ritz pass, halving the big
+    # operator applications vs re-applying S to X each round).
+    def body(carry):
+        X, SX, P, k, _, _ = carry
         theta = jnp.einsum("ik,ik->k", X, SX)
         Rres = SX - X * theta[None, :]
         if precon is not None:
             Rres = precon(Rres)
         Rres = proj(Rres)
         # Subspace [X, R, P] Rayleigh-Ritz (all columns stay in the
-        # deflated complement: X, P are by construction, Rres by proj).
+        # deflated complement: X, P are by construction, Rres by proj;
+        # re-projecting X/P counters numerical drift out of D^perp).
         V = jnp.concatenate([X, Rres, P], axis=1)
         Q, _ = jnp.linalg.qr(V)
         SQ = apply_S(Q)
         H = Q.T @ SQ
         H = 0.5 * (H + H.T)
         w, U = jnp.linalg.eigh(H)
-        Xn = Q @ U[:, :block]
-        Pn = Xn - X @ (X.T @ Xn)
-        return Xn, Pn
+        Xn = proj(Q @ U[:, :block])
+        SXn = SQ @ U[:, :block]
+        Pn = proj(Xn - X @ (X.T @ Xn))
+        # Convergence of the smallest Ritz pair (ascending eigh order).
+        th = w[0]
+        resid = jnp.linalg.norm(SXn[:, 0] - th * Xn[:, 0])
+        return Xn, SXn, Pn, k + 1, th, resid
 
-    run_chunk = jax.jit(lambda X, P: jax.lax.fori_loop(0, iters, body,
-                                                       (X, P)))
+    def cond(carry):
+        _, _, _, k, th, resid = carry
+        go = k < budget
+        if resid_tol is not None:
+            # Stop once the SIGN question is resolved: theta is always an
+            # upper bound on the (restricted) lambda_min, so a clearly
+            # negative theta is already a sound negative verdict; a positive
+            # theta certifies once the residual is safely below it.
+            unresolved = resid > jnp.maximum(resid_tol, 0.5 * jnp.abs(th))
+            go = go & (unresolved | (k < 2))
+        return go
 
-    def best_pair(X):
-        SX = apply_S(X)
-        theta = jnp.einsum("ik,ik->k", X, SX)
-        order = jnp.argsort(theta)
-        v = X[:, order[0]]
-        th = theta[order[0]]
-        resid = jnp.linalg.norm(SX[:, order[0]] - th * v)
-        return th, v, resid
+    init = (X0, apply_S(X0), jnp.zeros_like(X0), jnp.zeros((), jnp.int32),
+            jnp.zeros((), dtype), jnp.asarray(jnp.inf, dtype))
+    X, _, _, _, _, _ = jax.jit(
+        lambda c: jax.lax.while_loop(cond, body, c))(init)
 
-    done = 0
-    while True:
-        X, P = run_chunk(X, P)
-        X, P = proj(X), proj(P)  # counter numerical drift out of D^perp
-        done += iters
-        th, v, resid = best_pair(X)
-        if resid_tol is None:
-            return th, v, resid
-        thf, rf = float(th), float(resid)
-        # Stop once the SIGN question is resolved: theta is always an upper
-        # bound on the (restricted) lambda_min, so a clearly negative theta
-        # is already a sound negative verdict; a positive theta certifies
-        # once the residual is safely below it.
-        if rf <= max(resid_tol, 0.5 * abs(thf)) or done >= max_iters:
-            return th, v, resid
+    # Final pair from an EXACT operator application (the carried S X picks
+    # up the drift re-projections) — the residual feeds the certificate's
+    # defensible bound, so it must be honest.
+    SX = apply_S(X)
+    theta = jnp.einsum("ik,ik->k", X, SX)
+    order = jnp.argsort(theta)
+    v = X[:, order[0]]
+    th = theta[order[0]]
+    resid = jnp.linalg.norm(SX[:, order[0]] - th * v)
+    return th, v, resid
 
 
 def certificate_lambda_bound(apply_S, Y, key, dtype, tol, iters=200,
@@ -307,21 +316,24 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
 
 def certify_solution(meas: Measurements, R: np.ndarray,
                      min_eig_tol: float = 1e-5, dtype=jnp.float64,
-                     lobpcg_iters: int = 300, precon: str | None = None):
+                     lobpcg_iters: int = 300, precon: str | None = "auto"):
     """Certify a candidate SO(d)^n solution of the PGO problem (the SE-Sync
     machinery applied to a DPGO output; reference fast_verification).
 
     precon="chebyshev" applies the polynomial approximate-inverse
-    preconditioner to LOBPCG (the reference's ILDL role — recommended for
-    large graphs where the unpreconditioned solver needs thousands of
-    iterations). Returns (certified, lambda_min, suboptimality_bound,
-    fxhat)."""
+    preconditioner to LOBPCG (the reference's ILDL role,
+    SESync_utils.cpp:790-830); "auto" (default) turns it on for graphs past
+    ~1k poses, where the unpreconditioned solver needs thousands of
+    iterations; None disables. Returns (certified, lambda_min,
+    suboptimality_bound, fxhat)."""
     prob = build_sesync_problem(meas, dtype=dtype)
     n, d = prob.n, prob.d
     Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(n * d, d), dtype)
     Lam = prob.Lambda_blocks(Y)
     apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
     pre = None
+    if precon == "auto":
+        precon = "chebyshev" if n * d > 3000 else None
     if precon == "chebyshev":
         from dpgo_tpu.ops.eigen import lanczos_extreme
         lam_max, _ = lanczos_extreme(

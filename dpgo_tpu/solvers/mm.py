@@ -351,11 +351,23 @@ def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None,
 
 
 def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
-                          t_anchor=None, precon: str = "dense") -> TNTModel:
-    """Dense MXU TNT model in tall Q-storage (variable (t, Q [n d, d]))."""
+                          t_anchor=None, precon: str = "dense",
+                          anchor=None) -> TNTModel:
+    """Dense MXU TNT model in tall Q-storage (variable (t, Q [n d, d])).
 
-    def objective(x):
-        return p.evaluate_G_tall(x[0], x[1], g_t, g_Q, f)
+    `anchor` = (z_t, z_Q, fobj): evaluate the objective in the f32-stable
+    relative form against the MM anchor (evaluate_G_tall_rel) — required for
+    trust-region gain ratios to stay meaningful in f32 near convergence."""
+
+    if anchor is not None:
+        z_t, z_Q, fobj = anchor
+
+        def objective(x):
+            return p.evaluate_G_tall_rel(x[0], x[1], z_t, z_Q, g_t, g_Q,
+                                         fobj)
+    else:
+        def objective(x):
+            return p.evaluate_G_tall(x[0], x[1], g_t, g_Q, f)
 
     def grad_and_nabla(x):
         nabla = p.reduced_grad_tall(x[0], x[1], g_Q)
@@ -394,26 +406,33 @@ def resolve_preconditioner(probs, opts: MMOptions) -> str:
 
 
 def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
-               t_anchor=None, precon: str = "dense"):
+               t_anchor=None, precon: str = "dense", anchor=None):
     if t_anchor is None:
         t_anchor = jnp.zeros_like(t0)
     if probs.dense:
-        def one(p, t, R, gt, gR, fv, ta):
+        def one(p, t, R, gt, gR, fv, ta, anc):
+            if anc is not None:
+                anc = (anc[0], p.to_tall(anc[1]), anc[2])
             model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta,
-                                          precon)
+                                          precon, anchor=anc)
             x, fx, _, _ = tnt_generic(model, (t, p.to_tall(R)), params)
             return x[0], p.from_tall(x[1]), fx
     else:
-        def one(p, t, R, gt, gR, fv, ta):
+        def one(p, t, R, gt, gR, fv, ta, anc):
             model = _make_tnt_model(p, gt, gR, fv, ta, precon)
             tn, Rn, fx, _, _ = tnt(model, t, R, params)
             return tn, Rn, fx
 
-    return jax.vmap(one)(probs, t0, R0, g_t, g_R, f, t_anchor)
+    if anchor is None:
+        one_fn = lambda p, t, R, gt, gR, fv, ta: one(p, t, R, gt, gR, fv,
+                                                     ta, None)
+        return jax.vmap(one_fn)(probs, t0, R0, g_t, g_R, f, t_anchor)
+    return jax.vmap(one)(probs, t0, R0, g_t, g_R, f, t_anchor, anchor)
 
 
 def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
-                fallback_G, t_anchor=None, precon: str = "dense"):
+                fallback_G, t_anchor=None, precon: str = "dense",
+                anchor=None):
     """Run batched TNT only if any node needs it; select per node by mask.
     Returns (t, R, G value at result).
 
@@ -426,7 +445,7 @@ def _masked_tnt(probs, t0, R0, g_t, g_R, f, mask, params: TNTParams,
 
     def run(_):
         tn, Rn, fx = _tnt_batch(probs, t0, R0, g_t, g_R, f, params,
-                                t_anchor, precon)
+                                t_anchor, precon, anchor)
         return (jnp.where(mask[:, None, None], tn, t0),
                 jnp.where(mask[:, None, None, None], Rn, R0),
                 jnp.where(mask, fx, fallback_G))
@@ -484,18 +503,20 @@ def refine_probe(probs, st: MMState, opts: MMOptions):
     precon_kind = resolve_preconditioner(probs, opts)
 
     if probs.dense:
-        def one(p, t, R, gt, gR, fv, ta):
+        def one(p, t, R, gt, gR, fv, ta, anc):
+            anc = (anc[0], p.to_tall(anc[1]), anc[2])
             model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta,
-                                          precon_kind)
+                                          precon_kind, anchor=anc)
             out = tnt_generic(model, (t, p.to_tall(R)), params, record=True)
             return out[4]
     else:
-        def one(p, t, R, gt, gR, fv, ta):
+        def one(p, t, R, gt, gR, fv, ta, anc):
             model = _make_tnt_model(p, gt, gR, fv, ta, precon_kind)
             out = tnt_generic(model, (t, R), params, record=True)
             return out[4]
 
-    hist = jax.vmap(one)(probs, t_c, th_R, g_t_ex, g_R_ex, st.f, Y.t)
+    hist = jax.vmap(one)(probs, t_c, th_R, g_t_ex, g_R_ex, st.f, Y.t,
+                         (st.Z.t, st.Z.R, st.fobj))
     return refined, hist
 
 
@@ -588,7 +609,8 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         Gkh = _eval_G_batch(probs, st, th_t, th_R, zres)
         Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, g_t_ex, g_R_ex,
                                       st.f, refined, opts.tnt, Gkh,
-                                      t_anchor=Y.t, precon=precon_kind)
+                                      t_anchor=Y.t, precon=precon_kind,
+                                      anchor=(st.Z.t, st.Z.R, st.fobj))
         Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     # Exceptional-path cascade (DPGOHash.cpp:386-441): the proximal retry,
@@ -629,7 +651,8 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # value; restart & ~refined keep the evaluated proximal value.
         rt_t, rt_R, _ = _masked_tnt(
             probs, r_t, r_R, st.g_t, st.g_R, st.f, restart & refined,
-            opts.tnt, r_G, t_anchor=st.Z.t, precon=precon_kind)
+            opts.tnt, r_G, t_anchor=st.Z.t, precon=precon_kind,
+            anchor=(st.Z.t, st.Z.R, st.fobj))
         # Re-evaluate in the stable relative form (TNT's internal objective
         # is the absolute dense form, fine for its own accept/reject ratios
         # but too coarse in f32 to feed the restart comparisons).
@@ -684,7 +707,8 @@ def iterate_mm(probs: NodeProblem, st: MMState, opts: MMOptions,
     G0 = _eval_G_batch(probs, st, t_c, th_R, zres)
     Xak_t, Xak_R, _ = _masked_tnt(probs, t_c, th_R, st.g_t, st.g_R, st.f,
                                   refined, opts.tnt, G0, t_anchor=st.Z.t,
-                                  precon=resolve_preconditioner(probs, opts))
+                                  precon=resolve_preconditioner(probs, opts),
+                                  anchor=(st.Z.t, st.Z.R, st.fobj))
     Gk = _eval_G_batch(probs, st, Xak_t, Xak_R, zres)
 
     Z_new = NodeState(t=Xak_t, R=Xak_R, th=st.Z.th, Rh=st.Z.Rh)

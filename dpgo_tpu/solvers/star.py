@@ -158,7 +158,8 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
     precon_kind = resolve_preconditioner(probs, opts)
     Xp_t, Xp_R, _ = _masked_tnt(probs, tp, Xh_R, g_t_ex, g_R_ex, st.f,
                                 refined, opts.tnt, G0, t_anchor=Y.t,
-                                precon=precon_kind)
+                                precon=precon_kind,
+                                anchor=(st.Z.t, st.Z.R, st.fobj))
 
     def sqdiff(at, aR, bt, bR):
         return (jnp.sum((at - bt) ** 2) + jnp.sum((aR - bR) ** 2))
@@ -185,7 +186,8 @@ def iterate_star(probs: NodeProblem, st: StarState, opts: MMOptions,
         G2 = _eval_G_batch(probs, st, t2, Xh_R, zres)
         t3, R3, _ = _masked_tnt(probs, t2, Xh_R, st.g_t, st.g_R, st.f,
                                 refined, opts.tnt, G2, t_anchor=st.Z.t,
-                                precon=precon_kind)
+                                precon=precon_kind,
+                                anchor=(st.Z.t, st.Z.R, st.fobj))
         return (t3, R3, global_f_fn(t3, R3),
                 jnp.maximum(0.5 * s_next, 1.0))
 

@@ -128,3 +128,31 @@ def test_sharded_polish_matches_local(rng):
     _, g_s = shd._metrics(st_s2)
     _, g_r = ref._metrics(st_r2)
     assert float(g_s) < 1e-6 or float(g_s) <= 2 * float(g_r)
+
+
+def test_multihost_two_process_dcn():
+    """2-process jax.distributed mini-cluster (the DCN code path without DCN
+    hardware): both ranks run the sharded solver over a global mesh spanning
+    processes and must agree bit-for-bit on the objective trajectory.
+    (Exercises jax.distributed.initialize + shard_map over non-addressable
+    devices — what a real multi-host TPU deployment uses.)"""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    # Pick a free port so parallel test runs don't collide.
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, MHOST_PROCS="2", MHOST_DEVS="2",
+               MHOST_PORT=str(port), PYTHONPATH=repo)
+    env.pop("MHOST_RANK", None)
+    out = subprocess.run(
+        [sys.executable, os.path.join(repo, "tools", "multihost_demo.py")],
+        env=env, capture_output=True, text=True, timeout=420)
+    assert out.returncode == 0, out.stdout + out.stderr
+    assert "multihost OK" in out.stdout, out.stdout

@@ -20,9 +20,9 @@ import os
 import subprocess
 import sys
 
-NUM_PROCS = 4
-DEVS_PER_PROC = 2
-PORT = 29517
+NUM_PROCS = int(os.environ.get("MHOST_PROCS", "4"))
+DEVS_PER_PROC = int(os.environ.get("MHOST_DEVS", "2"))
+PORT = int(os.environ.get("MHOST_PORT", "29517"))
 
 
 def worker(rank: int):

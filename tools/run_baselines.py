@@ -169,6 +169,7 @@ def main():
         flush_rows()
 
     grid_synth = os.path.join(REPO, "artifacts", "grid3D_synth.g2o")
+    rim_synth = os.path.join(REPO, "artifacts", "rim_synth.g2o")
 
     add(run_config("cfg1 MM single-node", "CSAIL.g2o", 1, it,
                    accelerated=False, certify=True))
@@ -188,6 +189,8 @@ def main():
                    certify=True))
     add(run_config("cfg5 16-node + cert", "cubicle.g2o", 16, it,
                    certify=True))
+    if os.path.exists(rim_synth):
+        add(run_config("cfg5 16-node (synthetic rim)", rim_synth, 16, it))
     add(run_config("cfg5 dist-init", "MITb.g2o", 4, it, dist_init=True))
     # Global second-order polish rows (solvers/polish.py): the MM bulk phase
     # plus a handful of coupled trust-region iterations — the long-tail
