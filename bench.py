@@ -115,6 +115,29 @@ def main():
     except Exception:
         pass
 
+    # Reference-default refined preset (accepted_delta=5e-4, TNT 10/1 —
+    # dist_pgo.cpp:103-120): tracked alongside the proximal-only headline so
+    # the refined path's throughput regressions are visible per round.
+    ref_ips = ref_secs_to = ref_iters_to = None
+    try:
+        sref = DPGOSolver(meas, num_nodes=8,
+                          opts=MMOptions(accelerated=True), dtype=dtype)
+        stq = sref.initialize()
+        out = sref.run_steps_history(stq, k0, n_iters)   # compile + warm
+        np.asarray(out[0].fobj)
+        stq = sref.initialize()
+        t0 = time.perf_counter()
+        stq, _, (fh_r, _) = sref.run_steps_history(stq, k0, n_iters)
+        fh_r = np.asarray(fh_r)
+        dt_r = time.perf_counter() - t0
+        ref_ips = round(n_iters / dt_r, 1)
+        hit = np.nonzero(fh_r <= target)[0]
+        if hit.size:
+            ref_iters_to = int(hit[0]) + 1
+            ref_secs_to = dt_r * ref_iters_to / n_iters
+    except Exception:
+        pass
+
     prev_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PREV.json")
     vs = None
@@ -143,6 +166,9 @@ def main():
             "rel_gap_final": float(f1) / F_CERT_2X - 1.0,
             "polish_rel_gap": polish_gap,
             "polish_secs": polish_secs,
+            "refined_default_iters_per_sec": ref_ips,
+            "refined_default_secs_to_1e-4": ref_secs_to,
+            "refined_default_iters_to_1e-4": ref_iters_to,
         },
     }))
 

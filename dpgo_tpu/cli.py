@@ -51,6 +51,10 @@ def main(argv=None):
     ap.add_argument("--pcm", action="store_true",
                     help="PCM outlier rejection on inter edges before solving")
     ap.add_argument("--pcm_tolerance", type=float, default=0.2)
+    ap.add_argument("--pcm_stream", type=int, default=0, metavar="BATCH",
+                    help="feed inter edges through the incremental "
+                         "PCMSolver pipeline in batches of BATCH (reference "
+                         "PCMSolver::add_measurements flow); 0 = one-shot")
     ap.add_argument("--save", type=_bool, default=True)
     ap.add_argument("--f32", action="store_true")
     ap.add_argument("--certify", action="store_true",
@@ -103,8 +107,16 @@ def main(argv=None):
                                      recover_translations_global)
         R0 = chordal_initialization(meas)
         t0 = recover_translations_global(meas, R0)
-        meas, keep = pcm_filter(meas, args.num_nodes, t0, R0,
-                                PCMOptions(tolerance=args.pcm_tolerance))
+        if args.pcm_stream > 0:
+            from dpgo_tpu.pcm import pcm_filter_incremental
+            meas, keep = pcm_filter_incremental(
+                meas, args.num_nodes, t0, R0,
+                PCMOptions(tolerance=args.pcm_tolerance),
+                batch=args.pcm_stream)
+        else:
+            meas, keep = pcm_filter(
+                meas, args.num_nodes, t0, R0,
+                PCMOptions(tolerance=args.pcm_tolerance))
         print(f"PCM kept {keep.sum()}/{len(keep)} edges")
 
     opts = MMOptions(accelerated=args.accelerated, rescale=args.rescale,

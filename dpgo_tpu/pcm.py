@@ -294,3 +294,47 @@ class PCMSolver:
     @property
     def results(self) -> np.ndarray | None:
         return self._results
+
+
+def pcm_filter_incremental(meas: Measurements, num_nodes: int, t: np.ndarray,
+                           R: np.ndarray, opts: PCMOptions = PCMOptions(),
+                           batch: int = 1
+                           ) -> tuple[Measurements, np.ndarray]:
+    """pcm_filter through the incremental PCMSolver pipeline: each node
+    pair's inter edges stream in batches of `batch` (the reference's
+    add_measurements/update flow); the final clique solve gives the same
+    inlier set as the one-shot batch filter (tested)."""
+    part = make_partition(meas.num_poses, num_nodes)
+    ni = part.node_of[meas.i]
+    nj = part.node_of[meas.j]
+    keep = np.ones(len(meas), dtype=bool)
+
+    inter = np.nonzero(ni != nj)[0]
+    pairs = {}
+    for e in inter:
+        a, b = sorted((int(ni[e]), int(nj[e])))
+        pairs.setdefault((a, b), []).append(int(e))
+
+    for (a, b), es in pairs.items():
+        es = np.asarray(es)
+        if len(es) < 2:
+            continue
+        flip = ni[es] != a
+        Rm = meas.R[es].copy()
+        tm = meas.t[es].copy()
+        Rm[flip] = np.swapaxes(Rm[flip], -1, -2)
+        tm[flip] = -np.einsum("eab,eb->ea", Rm[flip], meas.t[es][flip])
+        gi = np.where(flip, meas.j[es], meas.i[es])
+        gj = np.where(flip, meas.i[es], meas.j[es])
+        solver = PCMSolver(opts)
+        m = len(es)
+        for pos in range(0, m, max(batch, 1)):
+            sl = slice(pos, min(pos + max(batch, 1), m))
+            solver.update(Rm[sl], tm[sl], meas.kappa[es][sl],
+                          meas.tau[es][sl], t[gi[sl]], R[gi[sl]],
+                          t[gj[sl]], R[gj[sl]])
+        exact = opts.exact and (m <= opts.exact_limit or opts.native)
+        mask = solver.solve_exact() if exact else solver.solve_heuristic()
+        keep[es[~mask]] = False
+
+    return meas.select(keep), keep

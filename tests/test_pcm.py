@@ -139,3 +139,22 @@ def test_incremental_pcm_matches_batch(rng):
         idx = np.nonzero(mask_inc)[0]
         assert all(adj_batch[a, b] for a in idx for b in idx if a != b)
         assert solver.results is not None
+
+
+def test_pcm_filter_incremental_equals_batch(rng):
+    from dpgo_tpu.pcm import pcm_filter_incremental
+
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=40, d=3,
+                                             loop_closures=40, noise=0.01)
+    part = make_partition(meas.num_poses, 2)
+    inter = np.nonzero(part.node_of[meas.i] != part.node_of[meas.j])[0]
+    meas.t[inter[:2]] += 10.0
+    opts = PCMOptions(tolerance=1.0)
+    _, keep_batch = pcm_filter(meas, 2, t_true, R_true, opts)
+    for batch in (1, 3):
+        _, keep_inc = pcm_filter_incremental(meas, 2, t_true, R_true, opts,
+                                             batch=batch)
+        # clique SIZE must match; tie-breaking may differ, so compare counts
+        # per node pair and validity of the kept set.
+        assert keep_inc.sum() == keep_batch.sum()
+        assert not keep_inc[inter[:2]].any()
