@@ -200,3 +200,42 @@ def test_tnt_user_fn_early_termination():
     _, _, _, acc_full, hist_full = tnt_generic(model, x0, params,
                                                record=True)
     assert int(hist_full.count) > 1
+
+
+def test_constrained_stpcg_equality_constraints(rng):
+    """STPCG with the `At` constraint operator (reference
+    IterativeSolvers.h:166-450 constrained variant): minimizes the quadratic
+    model over ker(A) and matches the KKT closed form when the trust region
+    is inactive; iterates stay feasible."""
+    from dpgo_tpu.solvers.tnt import TNTParams, stpcg
+
+    n, m = 12, 3
+    H = rng.normal(size=(n, n))
+    H = H @ H.T + n * np.eye(n)          # SPD
+    A = rng.normal(size=(m, n))
+    g = rng.normal(size=(n,))
+    Hj = jnp.asarray(H)
+    Aj = jnp.asarray(A)
+
+    # Constraint preconditioner: solve [[I, A^T], [A, 0]] [v; lam] = [r; 0].
+    K = np.block([[np.eye(n), A.T], [A, np.zeros((m, m))]])
+    Kinv = jnp.asarray(np.linalg.inv(K))
+
+    def precon(r):
+        sol = Kinv @ jnp.concatenate([r, jnp.zeros(m)])
+        return sol[:n], sol[n:]
+
+    At_op = lambda lam: Aj.T @ lam
+
+    params = TNTParams(max_tCG_iterations=200, kappa_fgr=1e-10, theta=1.0)
+    s, Hs, s_norm, k = stpcg(jnp.asarray(g), lambda v: Hj @ v, precon,
+                             jnp.asarray(1e6), params, At=At_op)
+    s = np.asarray(s)
+    # Feasible: A s = 0.
+    np.testing.assert_allclose(A @ s, 0.0, atol=1e-8)
+    # Matches the KKT solution of min 1/2 s'Hs + g's  s.t.  A s = 0.
+    KKT = np.block([[H, A.T], [A, np.zeros((m, m))]])
+    sol = np.linalg.solve(KKT, np.concatenate([-g, np.zeros(m)]))
+    np.testing.assert_allclose(s, sol[:n], atol=1e-6)
+    # H @ s byproduct is consistent.
+    np.testing.assert_allclose(np.asarray(Hs), H @ s, atol=1e-6)

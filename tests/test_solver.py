@@ -185,3 +185,29 @@ def test_single_node_f32_converges():
     f, g = map(float, s._metrics(st))
     assert f < 31.75, f   # certified 2f* = 31.7037
     assert g < 2.0, g
+
+
+def test_preconditioner_enum_variants():
+    """The reference Preconditioner enum options (DPGO_types.h:35-40) all
+    drive the refined solver to the same optimum; 'dense' (the
+    RegularizedCholesky role) needs the fewest total CG iterations."""
+    from dpgo_tpu.io.g2o import read_g2o_file
+    from tests.conftest import dataset_path
+
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    finals = {}
+    for kind in ("dense", "jacobi", "none"):
+        opts = MMOptions(accelerated=True, preconditioner=kind)
+        s = DPGOSolver(meas, num_nodes=2, opts=opts)
+        st = s.initialize()
+        st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 40)
+        f, _ = s._metrics(st)
+        finals[kind] = float(f)
+    for kind, f in finals.items():
+        assert abs(f / 31.7037158836 - 1) < 1e-3, (kind, f)
+    # invalid choice rejected
+    import pytest
+    from dpgo_tpu.solvers.mm import resolve_preconditioner
+    with pytest.raises(ValueError):
+        resolve_preconditioner(DPGOSolver(meas, 2).probs,
+                               MMOptions(preconditioner="ichol"))

@@ -88,6 +88,25 @@ def main():
     check("city10000 huber+dynamic f32 16-node", 550.0 < f < 700.0,
           f"2f={f:.4f}")
 
+    # 6b. dynamic-rescale embedded-constant miscompile sentinel
+    # (driver.py _embed_consts note): the workaround forces argument-passing
+    # jits whenever the dynamic path is traced. This check (a) verifies the
+    # workaround is still wired, and (b) re-tests the underlying miscompile
+    # with tools/repro_embed_miscompile.level3 — if the divergence ever
+    # STOPS reproducing, it fails loudly so the ~18% embed win can be
+    # reclaimed (flip the expectation + driver logic together).
+    meas = read_g2o_file(os.path.join(DATA, "CSAIL.g2o"))
+    s_dyn = DPGOSolver(meas, num_nodes=4,
+                       opts=MMOptions(accelerated=True, rescale="dynamic"),
+                       loss=Loss.HUBER, loss_reg=0.25, dtype=jnp.float32)
+    check("dynamic path disables const embedding",
+          not s_dyn._embed_consts)
+    from tools.repro_embed_miscompile import level3
+    d3, (fe, fa) = level3(meas, iters=150)
+    check("embed-vs-arg dynamic divergence still reproduces", d3 > 0.5,
+          f"|2f_embed-2f_arg|={d3:.3e} (embed {fe:.2f} arg {fa:.2f}; if "
+          "this FAILS the XLA bug is gone -> re-enable embedding)")
+
     # 6. global polish on TPU (f32 trust-region step + node-block
     # preconditioner): from a 150-iteration sphere2500 bulk state the
     # polished objective must land at f32 evaluation noise of the optimum.
