@@ -325,9 +325,20 @@ def update_state(probs: NodeProblem, st: MMState, opts: MMOptions,
 
 
 def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None,
-                    precon: str = "jacobi") -> TNTModel:
-    def objective(x):
-        return p.evaluate_G(x[0], x[1], (g_t, g_R), f)
+                    precon: str = "jacobi", anchor=None) -> TNTModel:
+    if anchor is not None:
+        # f32-stable relative objective against the MM anchor (same role as
+        # the dense model's evaluate_G_tall_rel): the anchor residual halves
+        # are computed once at model build and reused by every evaluation.
+        z_t, z_R, fobj = anchor
+        zres = p.anchor_residuals(z_t, z_R)
+
+        def objective(x):
+            return p.evaluate_G_rel(z_t, z_R, x[0], x[1], (g_t, g_R), fobj,
+                                    zres=zres)
+    else:
+        def objective(x):
+            return p.evaluate_G(x[0], x[1], (g_t, g_R), f)
 
     def grad_and_nabla(x):
         nabla = p.reduced_euclidean_grad(x[0], x[1], g_R)
@@ -419,7 +430,7 @@ def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
             return x[0], p.from_tall(x[1]), fx
     else:
         def one(p, t, R, gt, gR, fv, ta, anc):
-            model = _make_tnt_model(p, gt, gR, fv, ta, precon)
+            model = _make_tnt_model(p, gt, gR, fv, ta, precon, anchor=anc)
             tn, Rn, fx, _, _ = tnt(model, t, R, params)
             return tn, Rn, fx
 
@@ -511,7 +522,8 @@ def refine_probe(probs, st: MMState, opts: MMOptions):
             return out[4]
     else:
         def one(p, t, R, gt, gR, fv, ta, anc):
-            model = _make_tnt_model(p, gt, gR, fv, ta, precon_kind)
+            model = _make_tnt_model(p, gt, gR, fv, ta, precon_kind,
+                                    anchor=anc)
             out = tnt_generic(model, (t, R), params, record=True)
             return out[4]
 

@@ -380,3 +380,37 @@ def test_surrogate_g_f_fobj_fused(rng):
         outs = jax.vmap(one)(probs, Z)
         for o in outs:
             np.testing.assert_allclose(np.asarray(o), 0.0, atol=1e-10)
+
+
+def test_evaluate_G_tall_rel_matches_absolute(rng):
+    """The f32-stable relative tall-storage surrogate value (anchored at Z,
+    where tangency gives G(Z|Z) = fobj) has the same DIFFERENCES as the
+    absolute dense form, and touches fobj exactly at X = Z."""
+    meas, part, nodes, mg, probs = make_problem(rng, xi=1e-4)
+    t, R = rand_global(rng, meas)
+    zs = global_to_states(mg, part, t, R)
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+        g, f = p.surrogate_g_f(z)
+        fobj = float(p.local_fobj(z))
+        zQ = p.to_tall(z.R)
+        gQ = p.to_tall(g[1])
+        # Tangency at the anchor.
+        v0 = float(p.evaluate_G_tall_rel(z.t, zQ, z.t, zQ, g[0], gQ, fobj))
+        np.testing.assert_allclose(v0, fobj, rtol=1e-12)
+        # Differences match the absolute form for random perturbations.
+        key = jax.random.PRNGKey(11 + a)
+        k1, k2, k3, k4 = jax.random.split(key, 4)
+        xt1 = z.t + 0.1 * jax.random.normal(k1, z.t.shape, dtype=z.t.dtype)
+        xQ1 = zQ + 0.1 * jax.random.normal(k2, zQ.shape, dtype=zQ.dtype)
+        xt2 = z.t + 0.1 * jax.random.normal(k3, z.t.shape, dtype=z.t.dtype)
+        xQ2 = zQ + 0.1 * jax.random.normal(k4, zQ.shape, dtype=zQ.dtype)
+        rel1 = float(p.evaluate_G_tall_rel(xt1, xQ1, z.t, zQ, g[0], gQ,
+                                           fobj))
+        rel2 = float(p.evaluate_G_tall_rel(xt2, xQ2, z.t, zQ, g[0], gQ,
+                                           fobj))
+        abs1 = float(p.evaluate_G_tall(xt1, xQ1, g[0], gQ, f))
+        abs2 = float(p.evaluate_G_tall(xt2, xQ2, g[0], gQ, f))
+        np.testing.assert_allclose(rel1 - rel2, abs1 - abs2,
+                                   rtol=1e-9, atol=1e-9)
