@@ -299,7 +299,7 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams,
         return ((~st.done) & (st.k < params.max_iterations)
                 & (st.accepted < params.max_iterations_accepted))
 
-    def body(st: TNTState):
+    def step_core(st: TNTState):
         # Noise-floor guard: the first CG step's model decrease is
         # ~ 1/2 g^T P g; when that is below the working precision's
         # objective-evaluation noise, accept/reject gain ratios are coin
@@ -331,14 +331,19 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams,
         rho = df / dm
         step_ok = (~jnp.isnan(rho)) & (rho > params.eta1)
 
-        fx_n, grad_n, nabla_n, pg_n, gn_n, pgn_n = eval_at(x_prop)
+        # Derivatives of the accepted point are NOT evaluated here: the
+        # loop body refreshes them at iteration start instead, so the final
+        # accepted step (the only step, in the MM refinement's 1-accepted
+        # regime) never pays a gradient + preconditioner evaluation nobody
+        # consumes. grad/pgrad in the returned state therefore refer to the
+        # last EVALUATED point (pre-step when the exit was acceptance).
         x_new = _sel(step_ok, x_prop, st.x)
         fx_new = jnp.where(step_ok, fx_prop, st.fx)
-        grad_new = _sel(step_ok, grad_n, st.grad)
-        nabla_new = _sel(step_ok, nabla_n, st.nabla)
-        pg_new = _sel(step_ok, pg_n, st.pgrad)
-        gn_new = jnp.where(step_ok, gn_n, st.gradnorm)
-        pgn_new = jnp.where(step_ok, pgn_n, st.pgradnorm)
+        grad_new = st.grad
+        nabla_new = st.nabla
+        pg_new = st.pgrad
+        gn_new = st.gradnorm
+        pgn_new = st.pgradnorm
 
         stop_rel = step_ok & (rel_decrease
                               < params.relative_decrease_tolerance)
@@ -401,7 +406,24 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams,
             hist=hist,
         )
 
-    out = lax.while_loop(cond, body, init)
+    def body(st: TNTState):
+        # Iterations >= 2 start by refreshing the derivatives of the
+        # current iterate (stale after an accepted step; recomputation is a
+        # no-op after a rejection). The first iteration is peeled below and
+        # reuses the init evaluation directly.
+        grad_r, nabla_r = model.grad_and_nabla(st.x)
+        gn_r = jnp.sqrt(_ip(grad_r, grad_r))
+        pg_r = model.precondition(st.x, grad_r)
+        pgn_r = jnp.sqrt(_ip(pg_r, pg_r))
+        return step_core(st._replace(grad=grad_r, nabla=nabla_r,
+                                     pgrad=pg_r, gradnorm=gn_r,
+                                     pgradnorm=pgn_r))
+
+    if params.max_iterations <= 0 or params.max_iterations_accepted <= 0:
+        out = init
+    else:
+        peeled = step_core(init)
+        out = lax.while_loop(cond, body, peeled)
     if record:
         return out.x, out.fx, out.gradnorm, out.accepted, out.hist
     return out.x, out.fx, out.gradnorm, out.accepted
