@@ -114,6 +114,12 @@ class NodeProblem:
     # iterations (only the point-dependent curvature term and the tangent
     # projection are left unpreconditioned).
     precon_dense: jnp.ndarray  # [n0 d, n0 d] (zeros when not dense)
+    # Block panels of Hred / precon_dense for the fused single-kernel
+    # Pallas STPCG (ops/pallas_stpcg.py): [d*d, n_pad, n_pad], built only
+    # for f32 3-D blocks small enough for both operators to sit in VMEM
+    # ([1, 1, 1] placeholders otherwise).
+    Hpan: jnp.ndarray
+    Ppan: jnp.ndarray
 
     # Dynamic rescale (Rescale::Dynamic): persisted per-inter-edge surrogate
     # weights w_bar (DiagReScale in the reference, DPGOProblem.cpp:751-840).
@@ -830,6 +836,15 @@ def with_weights(base: NodeProblem, w_bar: jnp.ndarray) -> NodeProblem:
         Hred_d = mG11_d - jnp.matmul(mG01_d.T, X)
         repl.update(mG11_d=mG11_d, mG01_d=mG01_d, mG00_d=mG00_d,
                     Hred_d=Hred_d)
+        if base.Hpan.shape[-1] > 1:
+            # Refresh the fused-STPCG Hred panels (Ppan stays: the base
+            # preconditioner remains SPD-valid under w <= 1).
+            n_pad = base.Hpan.shape[-1]
+            pan = Hred_d.reshape(n0, d, n0, d).transpose(1, 3, 0, 2)
+            pan = jnp.pad(pan, ((0, 0), (0, 0), (0, n_pad - n0),
+                                (0, n_pad - n0)))
+            repl.update(Hpan=pan.reshape(d * d, n_pad, n_pad)
+                        .astype(jnp.float32))
 
     return dataclasses.replace(base, **repl)
 
@@ -1036,6 +1051,21 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
             SU[a][:, :k] = Minv_red[a][:, cols] \
                 + null_V[a] @ null_V[a][cols, :].T / xi
 
+    # Fused-STPCG block panels: only when the kernel is usable (f32 3-D
+    # blocks whose two operator panels fit VMEM together).
+    from dpgo_tpu.ops import pallas_stpcg as _pk
+    fused = (dense and d == 3 and dtype == jnp.float32
+             and _pk.fits_vmem(n0m * 1))
+    if fused:
+        n_pad = max(-(-n0m // _pk.LANE) * _pk.LANE, _pk.LANE)
+        Hpan = np.stack([_pk.block_panels(Hred_d[a], d, n_pad)
+                         for a in range(N)])
+        Ppan = np.stack([_pk.block_panels(precon_dense[a], d, n_pad)
+                         for a in range(N)])
+    else:
+        Hpan = np.zeros((N, 1, 1, 1))
+        Ppan = np.zeros((N, 1, 1, 1))
+
     cast = lambda x: jnp.asarray(x, dtype)
     return NodeProblem(
         d=d, xi=xi, loss=loss, loss_reg=loss_reg,
@@ -1046,6 +1076,8 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         dense=dense, mG00_d=cast(mG00_full), mG01_d=cast(mG01_d),
         mG11_d=cast(mG11_d), Hred_d=cast(Hred_d),
         precon_dense=cast(precon_dense),
+        Hpan=jnp.asarray(Hpan, jnp.float32),
+        Ppan=jnp.asarray(Ppan, jnp.float32),
         dynamic=False, scale_w=jnp.ones((N, mg.m1_max), dtype),
         ipose=jnp.asarray(ipose), imask=jnp.asarray(imask),
         SU=cast(SU), wood_C=jnp.zeros((N, kmax, kmax), dtype),

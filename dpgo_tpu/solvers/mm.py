@@ -363,7 +363,8 @@ def _make_tnt_model(p: NodeProblem, g_t, g_R, f, t_anchor=None,
 
 def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
                           t_anchor=None, precon: str = "dense",
-                          anchor=None) -> TNTModel:
+                          anchor=None,
+                          tnt_params: TNTParams | None = None) -> TNTModel:
     """Dense MXU TNT model in tall Q-storage (variable (t, Q [n d, d])).
 
     `anchor` = (z_t, z_Q, fobj): evaluate the objective in the f32-stable
@@ -399,9 +400,30 @@ def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
         Q_new = project_sod(Qb).reshape(x[1].shape)
         return p.recover_translations_tall(Q_new, g_t, t_anchor), Q_new
 
+    # Fused single-kernel Pallas STPCG (ops/pallas_stpcg.py) when the
+    # operator panels were built (f32 3-D VMEM-sized blocks) and the model
+    # uses the matching dense preconditioner.
+    fused = None
+    if p.Hpan.shape[-1] > 1 and precon == "dense" and tnt_params is not None:
+        import functools
+
+        from dpgo_tpu.ops.pallas_stpcg import stpcg_fused
+
+        fkern = functools.partial(
+            stpcg_fused, max_iters=tnt_params.max_tCG_iterations,
+            kappa_fgr=tnt_params.kappa_fgr, theta=tnt_params.theta)
+
+        def fused(x, nabla, grad, pgrad, Delta, active):
+            Q = x[1]
+            n = Q.shape[0] // p.d
+            Sb = jnp.einsum("nar,nbr->nab", Q.reshape(n, p.d, p.d),
+                            nabla.reshape(n, p.d, p.d))
+            Sb = 0.5 * (Sb + jnp.swapaxes(Sb, -1, -2))
+            return fkern(p.Hpan, p.Ppan, grad, pgrad, Q, Sb, Delta, active)
+
     return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
                     hess_vp=hess_vp, precondition=precondition,
-                    retract=retract)
+                    retract=retract, fused_stpcg=fused)
 
 
 def resolve_preconditioner(probs, opts: MMOptions) -> str:
@@ -425,7 +447,8 @@ def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
             if anc is not None:
                 anc = (anc[0], p.to_tall(anc[1]), anc[2])
             model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta,
-                                          precon, anchor=anc)
+                                          precon, anchor=anc,
+                                          tnt_params=params)
             x, fx, _, _ = tnt_generic(model, (t, p.to_tall(R)), params)
             return x[0], p.from_tall(x[1]), fx
     else:
@@ -517,7 +540,8 @@ def refine_probe(probs, st: MMState, opts: MMOptions):
         def one(p, t, R, gt, gR, fv, ta, anc):
             anc = (anc[0], p.to_tall(anc[1]), anc[2])
             model = _make_tnt_model_dense(p, gt, p.to_tall(gR), fv, ta,
-                                          precon_kind, anchor=anc)
+                                          precon_kind, anchor=anc,
+                                          tnt_params=params)
             out = tnt_generic(model, (t, p.to_tall(R)), params, record=True)
             return out[4]
     else:

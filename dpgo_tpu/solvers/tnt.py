@@ -68,6 +68,11 @@ class TNTModel(NamedTuple):
     hess_vp(x, nabla, v) -> tangent pytree
     precondition(x, v) -> tangent pytree
     retract(x, v) -> new variable pytree
+    fused_stpcg (optional): (x, nabla, grad, pgrad, Delta, active) ->
+        (h, Hh, h_M_norm, inner_iterations) — a single-kernel trust-region
+        subproblem solver replacing the generic stpcg loop (the Pallas
+        fused CG, ops/pallas_stpcg.py). Must implement identical
+        semantics; the portable stpcg below remains the oracle.
     """
 
     objective: Callable
@@ -75,6 +80,7 @@ class TNTModel(NamedTuple):
     hess_vp: Callable
     precondition: Callable
     retract: Callable
+    fused_stpcg: Callable | None = None
 
 
 class TNTHistory(NamedTuple):
@@ -316,11 +322,15 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams,
                          < params.preconditioned_gradient_tolerance)
                       | (dm_est < noise_floor))
 
-        h, Hh, h_M_norm, inner_k = stpcg(
-            st.grad,
-            lambda v: model.hess_vp(st.x, st.nabla, v),
-            lambda v: model.precondition(st.x, v),
-            st.Delta, params, v0=st.pgrad, active=~grad_small)
+        if model.fused_stpcg is not None:
+            h, Hh, h_M_norm, inner_k = model.fused_stpcg(
+                st.x, st.nabla, st.grad, st.pgrad, st.Delta, ~grad_small)
+        else:
+            h, Hh, h_M_norm, inner_k = stpcg(
+                st.grad,
+                lambda v: model.hess_vp(st.x, st.nabla, v),
+                lambda v: model.precondition(st.x, v),
+                st.Delta, params, v0=st.pgrad, active=~grad_small)
         h_norm = jnp.sqrt(_ip(h, h))
 
         x_prop = model.retract(st.x, h)

@@ -1,0 +1,80 @@
+"""Fused-STPCG Pallas kernel vs the portable solvers/tnt.py stpcg."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tests.synthetic import random_pose_graph
+
+
+def _setup(rng, num_poses=40):
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=num_poses, d=3,
+                                             loop_closures=30, noise=0.05)
+    s = DPGOSolver(meas, num_nodes=2, opts=MMOptions(accelerated=True),
+                   dtype=jnp.float64)
+    st = s.initialize()
+    st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 3)
+    p = jax.tree.map(lambda x: x[0], s.probs)
+    return s, st, p
+
+
+def test_fused_stpcg_matches_reference(rng):
+    from dpgo_tpu.ops import pallas_stpcg as pk
+    from dpgo_tpu.solvers.tnt import TNTParams, stpcg
+
+    s, st, p = _setup(rng)
+    f32 = jnp.float32
+    d = p.d
+    n = p.pose_mask.shape[0]
+    n_pad = max(-(-n // pk.LANE) * pk.LANE, pk.LANE)
+
+    # TNT-entry quantities for node 0 (f32, like the TPU path).
+    t0 = jnp.asarray(st.Z.t[0], f32)
+    Q = jnp.asarray(p.to_tall(st.Z.R[0]), f32)
+    gQ = jnp.asarray(p.to_tall(st.g_R[0]), f32)
+    gt = jnp.asarray(st.g_t[0], f32)
+    pf = jax.tree.map(lambda x: jnp.asarray(x, f32)
+                      if jnp.issubdtype(x.dtype, jnp.floating) else x, p)
+    nabla = pf.reduced_grad_tall(t0, Q, gQ)
+    grad = pf.proj_tall(Q, nabla)
+    pgrad = pf.precondition_tall(Q, grad)
+
+    params = TNTParams()
+    for Delta in (1.0, 0.02):
+        h_ref, Hh_ref, nrm_ref, k_ref = stpcg(
+            grad,
+            lambda v: pf.hessian_vp_tall(Q, nabla, v),
+            lambda v: pf.precondition_tall(Q, v),
+            jnp.asarray(Delta, f32), params, v0=pgrad)
+
+        Hpan = jnp.asarray(pk.block_panels(
+            np.asarray(p.Hred_d, np.float64), d, n_pad), f32)
+        Ppan = jnp.asarray(pk.block_panels(
+            np.asarray(p.precon_dense, np.float64), d, n_pad), f32)
+        Sb = jnp.einsum("nar,nbr->nab", Q.reshape(n, d, d),
+                        nabla.reshape(n, d, d))
+        Sb = 0.5 * (Sb + jnp.swapaxes(Sb, -1, -2))
+        h, Hh, nrm, k = pk.stpcg_fused(
+            Hpan, Ppan, grad, pgrad, Q, Sb,
+            jnp.asarray(Delta, f32), jnp.asarray(True),
+            max_iters=params.max_tCG_iterations,
+            kappa_fgr=params.kappa_fgr, theta=params.theta)
+
+        assert int(k) == int(k_ref), (Delta, int(k), int(k_ref))
+        np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref),
+                                   rtol=2e-4, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(Hh), np.asarray(Hh_ref),
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(float(nrm), float(nrm_ref), rtol=1e-4)
+
+    # Inactive lane: zero step, zero iterations.
+    h, Hh, nrm, k = pk.stpcg_fused(
+        Hpan, Ppan, grad, pgrad, Q, Sb, jnp.asarray(1.0, f32),
+        jnp.asarray(False), max_iters=params.max_tCG_iterations,
+        kappa_fgr=params.kappa_fgr, theta=params.theta)
+    assert int(k) == 0
+    np.testing.assert_allclose(np.asarray(h), 0.0)
