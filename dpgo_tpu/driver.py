@@ -87,10 +87,16 @@ class DPGOSolver:
         # city10000/16 nodes, whose precon_dense alone is ~100 MB).
         probs_bytes = sum(x.nbytes for x in jax.tree.leaves(self.probs))
         # NEVER embed when the dynamic-rescale path is traced: on the TPU
-        # backend, the with_weights graph (scatter-adds into the problem
-        # matrices) MISCOMPILES over embedded constants — observed CSAIL
-        # huber+dynamic producing 2f = 1379 from the constant-embedded step
-        # vs 28.69 from the argument-passing step on the identical state.
+        # backend the with_weights graph MISCOMPILES over embedded
+        # constants. Pinned by tools/repro_embed_miscompile.py (run on
+        # hardware, driver round 3): the scatter-add images (mG01/mG11) are
+        # EXACT; the divergence enters through the Woodbury core — gather
+        # of embedded-constant SU rows at ipose + jnp.linalg.inv — whose
+        # wood_C differs by O(300) absolute and poisons Hred and every
+        # translation solve (full trajectory: 2f_embed = 16707 vs
+        # 2f_arg = 28.61 on identical CSAIL huber+dynamic state).
+        # tools/tpu_smoke.py carries a sentinel that fails loudly when the
+        # bug stops reproducing so this workaround can be retired.
         dynamic = self.opts.rescale == "dynamic" and loss is not Loss.TRIVIAL
         self._embed_consts = probs_bytes < 80 * 2**20 and not dynamic
         self._make_jits()

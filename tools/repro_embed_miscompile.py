@@ -70,6 +70,35 @@ def level1(n=312, d=3, seed=0):
     return float(np.abs(ye - ya).max()), float(np.abs(ya).max())
 
 
+def level1b(n=312, k=40, seed=0):
+    """The L2 result pins the divergence to with_weights' Woodbury core
+    (wood_C) and its Hred propagation — NOT the scatter-adds (mG01/mG11
+    images match exactly). This mid-level repro isolates that pattern:
+    gather columns of an embedded constant at fixed indices, form
+    A = I + (U^T S U) * D with a data-dependent diagonal D, invert, and
+    multiply back."""
+    rng = np.random.default_rng(seed)
+    SU = rng.normal(size=(n, k)).astype(np.float32)
+    ipose = rng.choice(n, size=k, replace=False).astype(np.int32)
+    M = rng.normal(size=(n, k)).astype(np.float32)
+
+    def kernel(SU_, w):
+        D = w  # [k] data-dependent diagonal
+        UtSU = SU_[jnp.asarray(ipose)]          # gather rows [k, k]
+        A = jnp.eye(k, dtype=jnp.float32) + UtSU * D[None, :]
+        wood = D[:, None] * jnp.linalg.inv(A)
+        corr = jnp.einsum("kl,la->ka", wood, jnp.asarray(M)[jnp.asarray(
+            ipose)])
+        return jnp.asarray(M) - jnp.einsum("pk,ka->pa", SU_, corr)
+
+    f_embed = jax.jit(lambda w: kernel(jnp.asarray(SU), w))
+    f_arg = jax.jit(kernel)
+    w = jnp.asarray(rng.uniform(0.1, 1.0, size=(k,)).astype(np.float32))
+    ye = np.asarray(f_embed(w))
+    ya = np.asarray(f_arg(jnp.asarray(SU), w))
+    return float(np.abs(ye - ya).max()), float(np.abs(ya).max())
+
+
 def level2(meas, dtype=jnp.float32):
     """with_weights on a real problem stack: embedded base vs argument."""
     from dpgo_tpu.problem import with_weights
@@ -117,6 +146,9 @@ def main():
     d1, scale1 = level1()
     print(f"L1 raw scatter+matmul: max|diff|={d1:.3e} (scale {scale1:.1f})",
           flush=True)
+    d1b, scale1b = level1b()
+    print(f"L1b gather+inv Woodbury: max|diff|={d1b:.3e} "
+          f"(scale {scale1b:.1f})", flush=True)
     meas = read_g2o_file("/root/reference/dataset/CSAIL.g2o")
     d2, diffs2 = level2(meas)
     print(f"L2 with_weights images: max|diff|={d2:.3e} per-output={diffs2}",
