@@ -121,10 +121,12 @@ def _matvec_panels(panels_ref, v):
 
 
 def _stpcg_kernel(scal_ref, H_ref, P_ref, g_ref, v0_ref, Q_ref, S_ref,
-                  s_out, Hs_out, stats_out,
-                  *, max_iters: int, kappa_fgr: float, theta: float):
+                  s_out, Hs_out, stats_out, *, max_iters: int):
     Delta = scal_ref[0, 0]
     active = scal_ref[0, 1] > 0.0
+    # Residual target r0 * min(kappa, r0^theta) is computed OUTSIDE the
+    # kernel (Mosaic has no powf lowering) and passed in.
+    target = scal_ref[0, 2]
 
     Q = _rows(Q_ref)
     S = _rows(S_ref)
@@ -148,7 +150,6 @@ def _stpcg_kernel(scal_ref, H_ref, P_ref, g_ref, v0_ref, Q_ref, S_ref,
     eps = 1e-8
     r0v0 = _ip9(grad, v0)
     r0_norm = jnp.sqrt(r0v0)
-    target = r0_norm * jnp.minimum(kappa_fgr, r0_norm ** theta)
     Delta2 = Delta * Delta
 
     zero = _scale9(0.0, grad)
@@ -241,11 +242,13 @@ def stpcg_fused(Hpan, Ppan, g_tall, v0_tall, Q_tall, S_blocks, Delta,
     Q9 = to_soa(Q_tall, n_pad)
     S_tall = S_blocks.reshape(n * d, d)
     S9 = to_soa(S_tall, n_pad)
+    r0_norm = jnp.sqrt(jnp.sum(g_tall * v0_tall))
+    target = r0_norm * jnp.minimum(kappa_fgr, r0_norm ** theta)
     scal = jnp.stack([jnp.asarray(Delta, jnp.float32),
-                      jnp.asarray(active, jnp.float32)]).reshape(1, 2)
+                      jnp.asarray(active, jnp.float32),
+                      jnp.asarray(target, jnp.float32)]).reshape(1, 3)
 
-    kern = functools.partial(_stpcg_kernel, max_iters=max_iters,
-                             kappa_fgr=kappa_fgr, theta=theta)
+    kern = functools.partial(_stpcg_kernel, max_iters=max_iters)
     s9, Hs9, stats = pl.pallas_call(
         kern,
         out_shape=(jax.ShapeDtypeStruct((9, n_pad), jnp.float32),
@@ -261,6 +264,13 @@ def stpcg_fused(Hpan, Ppan, g_tall, v0_tall, Q_tall, S_blocks, Delta,
         out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.VMEM),
                    pl.BlockSpec(memory_space=pltpu.SMEM)),
+        # The two operator panels alone are 2*9*n_pad^2*4 B; raise the
+        # Mosaic scoped-VMEM budget past the 16 MB default (v5e has 128 MB
+        # of physical VMEM) to cover the panels plus the unrolled matvec's
+        # panel loads.
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=min(
+                vmem_bytes(n_pad) * 3 + 8 * 2 ** 20, 100 * 2 ** 20)),
         interpret=jax.default_backend() == "cpu",
     )(scal, Hpan, Ppan, g9, v9, Q9, S9)
 
