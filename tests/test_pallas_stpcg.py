@@ -78,3 +78,31 @@ def test_fused_stpcg_matches_reference(rng):
         kappa_fgr=params.kappa_fgr, theta=params.theta)
     assert int(k) == 0
     np.testing.assert_allclose(np.asarray(h), 0.0)
+
+
+def test_fused_stpcg_under_shard_map():
+    """The fused kernel lowers under shard_map over a device mesh (the
+    sharded f32 3-D deployment path); the solver runs and stays finite."""
+    import os
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs multiple (virtual) devices")
+    import __graft_entry__ as ge
+    from dpgo_tpu.parallel.spmd import ShardedDPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+
+    n_dev = min(4, len(jax.devices()))
+    meas = ge._synthetic_problem(num_poses=16 * n_dev, num_nodes=n_dev,
+                                 seed=5)
+    mesh = Mesh(np.asarray(jax.devices()[:n_dev]), ("nodes",))
+    s = ShardedDPGOSolver(meas, num_nodes=n_dev, mesh=mesh,
+                          opts=MMOptions(accelerated=True),
+                          dtype=jnp.float32)
+    assert s.probs.Hpan.shape[-1] > 1  # fused panels active
+    st = s.initialize()
+    st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 8)
+    f, g = map(float, s._metrics(st))
+    assert np.isfinite(f) and np.isfinite(g)
