@@ -106,3 +106,28 @@ def test_fused_stpcg_under_shard_map():
     st, _ = s.run_steps(st, jnp.zeros((), jnp.int32), 8)
     f, g = map(float, s._metrics(st))
     assert np.isfinite(f) and np.isfinite(g)
+
+
+def test_fused_panels_refresh_under_dynamic_rescale(rng):
+    """with_weights refreshes the fused kernel's Hred panels: the reweighted
+    panel matvec must match the reweighted dense hessian_vp_tall."""
+    from dpgo_tpu.problem import with_weights
+    from dpgo_tpu.ops import pallas_stpcg as pk
+
+    from dpgo_tpu.driver import DPGOSolver
+    from dpgo_tpu.solvers.mm import MMOptions
+
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=40, d=3,
+                                             loop_closures=30, noise=0.05)
+    sol = DPGOSolver(meas, num_nodes=2, opts=MMOptions(accelerated=True),
+                     dtype=jnp.float32)
+    p = jax.tree.map(lambda x: x[0], sol.probs)
+    assert p.Hpan.shape[-1] > 1
+    m1 = p.scale_w.shape[0]
+    w = jnp.asarray(rng.uniform(0.2, 1.0, size=(m1,)),
+                    p.scale_w.dtype)
+    pw = with_weights(p, w)
+    n_pad = pw.Hpan.shape[-1]
+    # Panel of the reweighted Hred equals block_panels(Hred_d).
+    ref = pk.block_panels(np.asarray(pw.Hred_d, np.float64), p.d, n_pad)
+    np.testing.assert_allclose(np.asarray(pw.Hpan), ref, atol=1e-5)
