@@ -37,19 +37,27 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from dpgo_tpu.ops.pallas_so3 import _mul, _transpose
-
-MAX_NPAD = 512  # 2 * 9 * 512^2 * 4 B = 18.9 MB > VMEM; gate below
 LANE = 128
 
 
-def vmem_bytes(n_pad: int) -> int:
-    return 2 * 9 * n_pad * n_pad * 4
+def vmem_bytes(n_pad: int, d: int = 3) -> int:
+    return 2 * d * d * n_pad * n_pad * 4
 
 
-def fits_vmem(n: int, budget: int = 12 * 2 ** 20) -> bool:
+def fits_vmem(n: int, d: int = 3, budget: int = 12 * 2 ** 20) -> bool:
     n_pad = -(-n // LANE) * LANE
-    return vmem_bytes(n_pad) <= budget
+    return vmem_bytes(n_pad, d) <= budget
+
+
+def _mul_d(x, y, d):
+    """d x d block matmul on d*d-tuples of lane vectors (row-major)."""
+    return tuple(
+        sum(x[a * d + k] * y[k * d + b] for k in range(d))
+        for a in range(d) for b in range(d))
+
+
+def _transpose_d(x, d):
+    return tuple(x[b * d + a] for a in range(d) for b in range(d))
 
 
 def block_panels(M: np.ndarray, d: int, n_pad: int) -> np.ndarray:
@@ -78,8 +86,8 @@ def from_soa(soa: jnp.ndarray, n: int) -> jnp.ndarray:
     return soa[:, :n].reshape(d, d, n).transpose(2, 0, 1).reshape(n * d, d)
 
 
-def _rows(ref_val):
-    return tuple(ref_val[i, :] for i in range(9))
+def _rows(ref_val, dd):
+    return tuple(ref_val[i, :] for i in range(dd))
 
 
 def _ip9(x, y):
@@ -98,54 +106,55 @@ def _sel9(pred, x, y):
     return tuple(jnp.where(pred, a, b) for a, b in zip(x, y))
 
 
-def _sym9(t):
-    """0.5 (T + T^T) on a 9-tuple."""
-    tt = _transpose(t)
+def _sym_d(t, d):
+    """0.5 (T + T^T) on a d*d-tuple."""
+    tt = _transpose_d(t, d)
     return tuple(0.5 * (a + b) for a, b in zip(t, tt))
 
 
-def _matvec_panels(panels_ref, v):
-    """SoA matvec with the [9, n_pad, n_pad] block panels of a SYMMETRIC
-    tall-storage operator: out[r*3+c] = sum_s v[s*3+c] @ panels[s*3+r]
+def _matvec_panels(panels_ref, v, d):
+    """SoA matvec with the [d*d, n_pad, n_pad] block panels of a SYMMETRIC
+    tall-storage operator: out[r*d+c] = sum_s v[s*d+c] @ panels[s*d+r]
     (symmetry turns the transposed panel into the (s, r) panel)."""
-    outs = [None] * 9
-    for r in range(3):
-        for s in range(3):
-            V3 = jnp.stack([v[s * 3 + 0], v[s * 3 + 1], v[s * 3 + 2]])
-            contrib = jnp.dot(V3, panels_ref[s * 3 + r],
+    outs = [None] * (d * d)
+    for r in range(d):
+        for s in range(d):
+            Vd = jnp.stack([v[s * d + c] for c in range(d)])
+            contrib = jnp.dot(Vd, panels_ref[s * d + r],
                               preferred_element_type=jnp.float32)
-            for c in range(3):
-                o = outs[r * 3 + c]
-                outs[r * 3 + c] = contrib[c] if o is None else o + contrib[c]
+            for c in range(d):
+                o = outs[r * d + c]
+                outs[r * d + c] = contrib[c] if o is None else o + contrib[c]
     return tuple(outs)
 
 
 def _stpcg_kernel(scal_ref, H_ref, P_ref, g_ref, v0_ref, Q_ref, S_ref,
-                  s_out, Hs_out, stats_out, *, max_iters: int):
+                  s_out, Hs_out, stats_out, *, max_iters: int, d: int):
     Delta = scal_ref[0, 0]
     active = scal_ref[0, 1] > 0.0
     # Residual target r0 * min(kappa, r0^theta) is computed OUTSIDE the
     # kernel (Mosaic has no powf lowering) and passed in.
     target = scal_ref[0, 2]
+    dd = d * d
 
-    Q = _rows(Q_ref)
-    S = _rows(S_ref)
-    grad = _rows(g_ref)
-    v0 = _rows(v0_ref)
+    Q = _rows(Q_ref, dd)
+    S = _rows(S_ref, dd)
+    grad = _rows(g_ref, dd)
+    v0 = _rows(v0_ref, dd)
 
     def proj(v):
         # v - sym(Q_p V_p^T) @ Q_p per block (manifold.proj_tangent in tall
         # SoA form).
-        t = _sym9(_mul(Q, _transpose(v)))
-        return tuple(a - b for a, b in zip(v, _mul(t, Q)))
+        t = _sym_d(_mul_d(Q, _transpose_d(v, d), d), d)
+        return tuple(a - b for a, b in zip(v, _mul_d(t, Q, d)))
 
     def hess(v):
-        hv = _matvec_panels(H_ref, v)
-        corr = _mul(S, v)
+        hv = _matvec_panels(H_ref, v, d)
+        corr = _mul_d(S, v, d)
         return proj(tuple(a - b for a, b in zip(hv, corr)))
 
     def precon(v):
-        return proj(_matvec_panels(P_ref, v))
+        return proj(_matvec_panels(P_ref, v, d))
 
     eps = 1e-8
     r0v0 = _ip9(grad, v0)
@@ -216,7 +225,7 @@ def _stpcg_kernel(scal_ref, H_ref, P_ref, g_ref, v0_ref, Q_ref, S_ref,
     out = jax.lax.while_loop(cond, body, init)
     s, Hs = out[0], out[1]
     norm = jnp.where(out[10] > 0, out[10], jnp.sqrt(out[6]))
-    for i in range(9):
+    for i in range(dd):
         s_out[i, :] = s[i]
         Hs_out[i, :] = Hs[i]
     stats_out[0, 0] = norm
@@ -248,11 +257,11 @@ def stpcg_fused(Hpan, Ppan, g_tall, v0_tall, Q_tall, S_blocks, Delta,
                       jnp.asarray(active, jnp.float32),
                       jnp.asarray(target, jnp.float32)]).reshape(1, 3)
 
-    kern = functools.partial(_stpcg_kernel, max_iters=max_iters)
+    kern = functools.partial(_stpcg_kernel, max_iters=max_iters, d=d)
     s9, Hs9, stats = pl.pallas_call(
         kern,
-        out_shape=(jax.ShapeDtypeStruct((9, n_pad), jnp.float32),
-                   jax.ShapeDtypeStruct((9, n_pad), jnp.float32),
+        out_shape=(jax.ShapeDtypeStruct((d * d, n_pad), jnp.float32),
+                   jax.ShapeDtypeStruct((d * d, n_pad), jnp.float32),
                    jax.ShapeDtypeStruct((1, 2), jnp.float32)),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -270,7 +279,7 @@ def stpcg_fused(Hpan, Ppan, g_tall, v0_tall, Q_tall, S_blocks, Delta,
         # panel loads.
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=min(
-                vmem_bytes(n_pad) * 3 + 8 * 2 ** 20, 100 * 2 ** 20)),
+                vmem_bytes(n_pad, d) * 3 + 8 * 2 ** 20, 100 * 2 ** 20)),
         interpret=jax.default_backend() == "cpu",
     )(scal, Hpan, Ppan, g9, v9, Q9, S9)
 

@@ -1051,11 +1051,11 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
             SU[a][:, :k] = Minv_red[a][:, cols] \
                 + null_V[a] @ null_V[a][cols, :].T / xi
 
-    # Fused-STPCG block panels: only when the kernel is usable (f32 3-D
-    # blocks whose two operator panels fit VMEM together).
+    # Fused-STPCG block panels: only when the kernel is usable (f32 blocks
+    # whose two operator panels fit VMEM together; d = 2 and 3 supported).
     from dpgo_tpu.ops import pallas_stpcg as _pk
-    fused = (dense and d == 3 and dtype == jnp.float32
-             and _pk.fits_vmem(n0m * 1))
+    fused = (dense and d in (2, 3) and dtype == jnp.float32
+             and _pk.fits_vmem(n0m, d))
     if fused:
         n_pad = max(-(-n0m // _pk.LANE) * _pk.LANE, _pk.LANE)
         Hpan = np.stack([_pk.block_panels(Hred_d[a], d, n_pad)

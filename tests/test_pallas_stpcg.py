@@ -8,11 +8,11 @@ import pytest
 from tests.synthetic import random_pose_graph
 
 
-def _setup(rng, num_poses=40):
+def _setup(rng, num_poses=40, d=3):
     from dpgo_tpu.driver import DPGOSolver
     from dpgo_tpu.solvers.mm import MMOptions
 
-    meas, t_true, R_true = random_pose_graph(rng, num_poses=num_poses, d=3,
+    meas, t_true, R_true = random_pose_graph(rng, num_poses=num_poses, d=d,
                                              loop_closures=30, noise=0.05)
     s = DPGOSolver(meas, num_nodes=2, opts=MMOptions(accelerated=True),
                    dtype=jnp.float64)
@@ -22,11 +22,12 @@ def _setup(rng, num_poses=40):
     return s, st, p
 
 
-def test_fused_stpcg_matches_reference(rng):
+@pytest.mark.parametrize("dim", [3, 2])
+def test_fused_stpcg_matches_reference(rng, dim):
     from dpgo_tpu.ops import pallas_stpcg as pk
     from dpgo_tpu.solvers.tnt import TNTParams, stpcg
 
-    s, st, p = _setup(rng)
+    s, st, p = _setup(rng, d=dim)
     f32 = jnp.float32
     d = p.d
     n = p.pose_mask.shape[0]
