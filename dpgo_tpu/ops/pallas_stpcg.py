@@ -44,7 +44,11 @@ def vmem_bytes(n_pad: int, d: int = 3) -> int:
     return 2 * d * d * n_pad * n_pad * 4
 
 
-def fits_vmem(n: int, d: int = 3, budget: int = 12 * 2 ** 20) -> bool:
+def fits_vmem(n: int, d: int = 3, budget: int = 14 * 2 ** 20) -> bool:
+    # Budget covers the two resident panels; Mosaic's raised scoped-VMEM
+    # limit (stpcg_fused) additionally absorbs the unrolled matvec's panel
+    # loads — a 20.3 MB total compiles and runs on v5e (measured), so a
+    # 14 MB panel budget keeps total scoped use near ~45 MB worst case.
     n_pad = -(-n // LANE) * LANE
     return vmem_bytes(n_pad, d) <= budget
 
