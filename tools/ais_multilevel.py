@@ -155,7 +155,12 @@ def main():
             fx = float(np.asarray(fx))
             g = 2 * float(grad_norm(s.edges, t, R))
             print(f"chunk {c}: 2f={2*fx:.12g} 2|grad|={g:.3e} "
-                  f"({time.time()-t0:.1f}s)")
+                  f"({time.time()-t0:.1f}s)", flush=True)
+            if args.save:
+                # Checkpoint every chunk: long runs must survive the
+                # harness being killed (polish_global is monotone, so the
+                # latest chunk is always the best iterate).
+                np.savez(args.save, t=np.asarray(t), R=np.asarray(R))
 
     if args.save:
         np.savez(args.save, t=np.asarray(t), R=np.asarray(R))
