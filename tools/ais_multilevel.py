@@ -90,6 +90,13 @@ def main():
             model0.hess_vp, nabla, (t, R), levels, base)
 
     params = pm.polish_params(outer=args.outer, tcg=args.tcg)
+    if args.Delta0 > 0:
+        # Chunk mode previously always started at TNTParams.Delta0=1.0
+        # (M-norm), which trust-region-caps the Newton steps on this
+        # ill-conditioned corridor — the diag-mode default (1e5) is what
+        # produced the plateau-breaking full Newton steps.
+        import dataclasses
+        params = dataclasses.replace(params, Delta0=args.Delta0)
 
     if args.diag:
         # Per-outer diagnostics: one TNT outer iteration at a time (python
