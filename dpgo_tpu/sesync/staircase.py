@@ -314,27 +314,200 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
         rank=Y.shape[1])
 
 
+def certificate_sparse_full(meas: Measurements, Lam_blocks: np.ndarray):
+    """Sparse translation-explicit certificate S_full = M - blkdiag(0, Lam).
+
+    Mirrors the reference's verification route (SESyncProblem.cpp:430-452):
+    the PSD test runs on the certificate of the FULL (t-explicit) problem,
+    whose data matrix M is sparse, rather than the dense simplified Q. M is
+    built as B^T B from the edge residual factor (state X = [t; Y] with
+    Y_i = R_i^T, F = 1/2 |B X|_F^2):
+
+        rt-row:  sqrt(tau)  (e_i^T t + t~^T Y_i - e_j^T t)     (1 row/edge)
+        rR-rows: sqrt(kappa)(R~^T Y_i - Y_j)                   (d rows/edge)
+
+    By the generalized Schur-complement argument, S_full >= 0 iff the
+    simplified certificate S = Q - Lam >= 0 (SE-Sync Prop. 4 machinery), so
+    the PSD accept transfers exactly."""
+    import scipy.sparse as sp
+    n, d, m = meas.num_poses, meas.d, len(meas)
+    i, j = meas.i, meas.j
+    sq_tau = np.sqrt(meas.tau)
+    sq_kap = np.sqrt(meas.kappa)
+    rows, cols, vals = [], [], []
+    e = np.arange(m)
+
+    def add(rr, cc, vv):
+        rows.append(np.broadcast_to(rr, vv.shape).ravel())
+        cols.append(np.broadcast_to(cc, vv.shape).ravel())
+        vals.append(vv.ravel())
+
+    # Translation rows: one per edge (row id e), unknown columns:
+    # t_i (col i), t_j (col j), Y_i rows (cols n + d*i .. n + d*i + d - 1).
+    add(e, i, sq_tau)
+    add(e, j, -sq_tau)
+    add(e[:, None], n + d * i[:, None] + np.arange(d)[None, :],
+        sq_tau[:, None] * meas.t)
+    # Rotation rows: d per edge (row ids m + d*e + a), R~^T Y_i - Y_j.
+    # (R~^T)[a, b] multiplies Y_i's row b into output row a.
+    ra = m + d * e[:, None, None] + np.arange(d)[None, :, None]
+    add(ra, n + d * i[:, None, None] + np.arange(d)[None, None, :],
+        sq_kap[:, None, None] * np.swapaxes(meas.R, -1, -2))
+    add(m + d * e[:, None] + np.arange(d)[None, :],
+        n + d * j[:, None] + np.arange(d)[None, :],
+        np.broadcast_to(-sq_kap[:, None], (m, d)))
+    B = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(m * (1 + d), n * (1 + d))).tocsr()
+    M = (B.T @ B).tocsr()
+    Lam = sp.block_diag(
+        [sp.csr_matrix((n, n))] + [sp.csr_matrix(np.asarray(Lam_blocks[k]))
+                                   for k in range(n)], format="csr")
+    return (M - Lam).tocsc()
+
+
+def psd_accept_splu(S, eta: float):
+    """Reference fast_verification stage 1 (SESync_utils.cpp:721-757):
+    attempt a Cholesky-equivalent factorization of S + eta*I; success
+    proves S >= -eta*I. CHOLMOD is unavailable, so the factorization is
+    SuperLU in symmetric mode with diagonal pivoting only
+    (diag_pivot_thresh=0): if it completes with a purely symmetric
+    permutation (perm_r inverse of perm_c) and all U pivots positive, then
+    P(S + eta I)P^T = L D L^T with D > 0, i.e. positive definite.
+
+    Returns True (proved PSD within eta), False (a negative pivot — proved
+    indefinite at this shift), or None (row pivoting engaged / breakdown:
+    inconclusive, caller must fall back to the eigensolver)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    n = S.shape[0]
+    A = (S + eta * sp.identity(n, format="csc")).tocsc()
+    try:
+        lu = spla.splu(A, diag_pivot_thresh=0.0,
+                       permc_spec="MMD_AT_PLUS_A",
+                       options=dict(SymmetricMode=True))
+    except RuntimeError:
+        return None  # exactly singular pivot: inconclusive at this shift
+    pr = np.asarray(lu.perm_r)
+    pc = np.asarray(lu.perm_c)
+    if not np.array_equal(pr, pc):
+        return None  # row pivoting engaged: not an LDL^T, inconclusive
+    piv = lu.U.diagonal()
+    if np.all(piv > 0):
+        return True
+    return False
+
+
+def min_eig_arpack_deflated(apply_S_np, Y: np.ndarray, nd: int,
+                            tol: float = 1e-8, maxiter: int = None,
+                            ncv: int = 64, shift: float = None):
+    """lambda_min of the simplified certificate S restricted to span(Y)^perp
+    via ARPACK (scipy eigsh) on the deflation-shifted operator
+    S' = S + c YY^T — the fast CPU alternative to min_eig_lobpcg for the
+    clustered-at-zero spectra where LOBPCG needs thousands of iterations
+    (city10000 staircase certificate: 435 s LOBPCG -> seconds here).
+
+    Residual-honest like the LOBPCG path: the returned (lamc, resid) come
+    from one exact operator application to the deflated-projected Ritz
+    vector, so lamc - resid is a defensible lower bound on the restricted
+    lambda_min regardless of ARPACK's internal state."""
+    import scipy.sparse.linalg as spla
+    Q, _ = np.linalg.qr(np.asarray(Y, np.float64))
+    if shift is None:
+        # Safe deflation shift: a few power iterations for |S|.
+        v = np.random.default_rng(0).standard_normal(nd)
+        v /= np.linalg.norm(v)
+        for _ in range(8):
+            w = apply_S_np(v)
+            nrm = np.linalg.norm(w)
+            if nrm == 0:
+                break
+            v = w / nrm
+        shift = 4.0 * max(nrm, 1.0)
+
+    def mv(x):
+        return apply_S_np(x) + shift * (Q @ (Q.T @ x))
+
+    op = spla.LinearOperator((nd, nd), matvec=mv, dtype=np.float64)
+    w, V = spla.eigsh(op, k=1, which="SA", tol=tol,
+                      maxiter=maxiter, ncv=min(ncv, nd - 1))
+    v = V[:, 0]
+    # Project out span(Y) drift and take an exact honest Rayleigh pair.
+    v = v - Q @ (Q.T @ v)
+    v /= np.linalg.norm(v)
+    Sv = apply_S_np(v)
+    lamc = float(v @ Sv)
+    res = Sv - lamc * v
+    res = res - Q @ (Q.T @ res)   # residual within the complement
+    return lamc, v, float(np.linalg.norm(res))
+
+
 def certify_solution(meas: Measurements, R: np.ndarray,
                      min_eig_tol: float = 1e-5, dtype=jnp.float64,
-                     lobpcg_iters: int = 300, precon: str | None = "auto"):
+                     lobpcg_iters: int = 300, precon: str | None = "auto",
+                     method: str = "auto", eta_psd: float = 1e-7):
     """Certify a candidate SO(d)^n solution of the PGO problem (the SE-Sync
     machinery applied to a DPGO output; reference fast_verification).
 
-    precon="chebyshev" applies the polynomial approximate-inverse
-    preconditioner to LOBPCG (the reference's ILDL role,
-    SESync_utils.cpp:790-830). "auto" (default) currently resolves to no
-    preconditioner: measured head-to-head on city10000 (20k-dim deflated
-    certificate), plain LOBPCG certifies in 0.7x the Chebyshev-
-    preconditioned time — the deflated spectrum near an optimum clusters
-    at 0 with no gap for the polynomial window [lam_max/100, lam_max] to
-    exploit (the opposite of the gapped spectra where round-2 measured
-    >10x residual gains). Kept as an explicit opt-in for gapped cases.
+    method="auto" (default) runs the reference fast_verification order
+    (SESync_utils.cpp:721-850): (1) build the SPARSE translation-explicit
+    certificate S_full and attempt the Cholesky-equivalent PSD accept at
+    shift eta_psd (certificate_sparse_full / psd_accept_splu) — the cheap
+    branch that resolves comfortably-PSD certificates in milliseconds;
+    (2) on failure/inconclusive, the ARPACK deflated eigensolve on the
+    simplified S (min_eig_arpack_deflated) with the residual-honest 2x2
+    interaction bound; (3) on ARPACK breakdown, the original deflated
+    LOBPCG (method="lobpcg" forces this path; its `precon` semantics
+    unchanged: "chebyshev" opt-in, "auto" -> none).
     Returns (certified, lambda_min, suboptimality_bound, fxhat)."""
     prob = build_sesync_problem(meas, dtype=dtype)
     n, d = prob.n, prob.d
     Y = jnp.asarray(np.swapaxes(R, 1, 2).reshape(n * d, d), dtype)
     Lam = prob.Lambda_blocks(Y)
     apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
+    fxhat = float(prob.objective(Y))
+    tr_lam = float(jnp.sum(jnp.trace(Lam, axis1=-2, axis2=-1)))
+
+    def finish(lam_min):
+        # f* >= tr(Lambda)/2 + (nd/2) min(0, lam_min); for a stationary
+        # candidate tr(Lambda) = <Q y, y> and the slack term vanishes.
+        bound = max(0.0, fxhat - 0.5 * tr_lam) \
+            + 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
+        return lam_min >= -min_eig_tol, lam_min, bound, fxhat
+
+    Y_np = np.asarray(Y, np.float64)
+
+    def apply_S_np(v):
+        return np.asarray(apply_S(jnp.asarray(v[:, None], dtype))).ravel()
+
+    if method == "auto":
+        # Stage 1: sparse Cholesky-equivalent PSD accept (the reference's
+        # CHOLMOD attempt). Success proves S_full >= -eta_psd I, hence (by
+        # the Schur-complement transfer) the simplified S is PSD to the
+        # same shift; the stationarity defect is charged separately via
+        # eps = |S Yhat| exactly as in certificate_lambda_bound.
+        Sfull = certificate_sparse_full(meas, np.asarray(Lam))
+        ok = psd_accept_splu(Sfull, eta_psd)
+        Qo, _ = np.linalg.qr(Y_np)
+        eps = float(np.linalg.norm(
+            np.asarray(apply_S(jnp.asarray(Qo, dtype)))))
+        if ok is True:
+            lamc_c = -eta_psd
+            lam_min = 0.5 * ((lamc_c - eps) - float(
+                np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
+            return finish(lam_min)
+        # Stage 2: ARPACK deflated eigensolve, residual-honest.
+        try:
+            lamc, _, resid = min_eig_arpack_deflated(
+                apply_S_np, Y_np, n * d, tol=min(1e-8, min_eig_tol))
+            lamc_c = lamc - resid
+            lam_min = 0.5 * ((lamc_c - eps) - float(
+                np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
+            return finish(lam_min)
+        except Exception:
+            pass  # ARPACK breakdown: fall through to LOBPCG
+
     pre = None
     if precon == "auto":
         precon = None
@@ -347,10 +520,4 @@ def certify_solution(meas: Measurements, R: np.ndarray,
     lam_min, _, lamc, eps = certificate_lambda_bound(
         apply_S, Y, jax.random.PRNGKey(1), dtype, min_eig_tol,
         iters=lobpcg_iters, precon=pre)
-    fxhat = float(prob.objective(Y))
-    # f* >= tr(Lambda)/2 + (nd/2) min(0, lam_min); for a stationary
-    # candidate tr(Lambda) = <Q y, y> and the slack term vanishes.
-    tr_lam = float(jnp.sum(jnp.trace(Lam, axis1=-2, axis2=-1)))
-    bound = max(0.0, fxhat - 0.5 * tr_lam) \
-        + 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
-    return lam_min >= -min_eig_tol, lam_min, bound, fxhat
+    return finish(lam_min)

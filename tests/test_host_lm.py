@@ -1,0 +1,132 @@
+"""Host-side exact sparse Newton (LM) polish + staged sparse certification.
+
+The LM polisher (solvers/host_lm.py) is the conditioning-immune f64 tail
+solver for pathological graphs (ais2klinik); the staged certification
+(staircase.certificate_sparse_full / psd_accept_splu /
+min_eig_arpack_deflated) mirrors the reference fast_verification order
+(SESync_utils.cpp:721-850): sparse Cholesky-equivalent PSD accept first,
+iterative eigensolver only on failure.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from dpgo_tpu.io.g2o import read_g2o_file
+from dpgo_tpu.objective import EdgeData, evaluate_f, grad_norm
+from dpgo_tpu.sesync import chordal_initialization, \
+    recover_translations_global
+from dpgo_tpu.sesync.problem import build_sesync_problem
+from dpgo_tpu.sesync.staircase import (certificate_sparse_full,
+                                       certify_solution,
+                                       min_eig_arpack_deflated,
+                                       psd_accept_splu)
+from dpgo_tpu.solvers.host_lm import lm_polish_2d
+
+from tests.conftest import dataset_path
+
+CSAIL_2F = 31.7037158836  # certified (artifacts/certified_optima.json)
+
+
+@pytest.fixture(scope="module")
+def csail_lm():
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    R0 = chordal_initialization(meas)
+    t0 = recover_translations_global(meas, R0)
+    return meas, lm_polish_2d(meas, t0, R0)
+
+
+def test_lm_reaches_certified_optimum(csail_lm):
+    meas, res = csail_lm
+    assert res.converged
+    np.testing.assert_allclose(res.f2x, CSAIL_2F, rtol=1e-9)
+    # Oracle agreement: the theta-chart objective IS the chordal objective.
+    edges = EdgeData.from_measurements(meas, dtype=jnp.float64)
+    f2 = 2 * float(evaluate_f(edges, jnp.asarray(res.t), jnp.asarray(res.R)))
+    np.testing.assert_allclose(f2, res.f2x, rtol=1e-12)
+    g2 = 2 * float(grad_norm(edges, jnp.asarray(res.t), jnp.asarray(res.R)))
+    assert g2 < 1e-8
+
+
+def test_lm_newton_beats_gauss_newton(csail_lm):
+    """Full Newton (diagonal curvature correction) must converge at least
+    as deep as Gauss-Newton in the same iteration budget."""
+    meas, _ = csail_lm
+    R0 = chordal_initialization(meas)
+    t0 = recover_translations_global(meas, R0)
+    gn = lm_polish_2d(meas, t0, R0, max_iters=8, newton=False)
+    nw = lm_polish_2d(meas, t0, R0, max_iters=8, newton=True)
+    assert nw.grad_inf <= gn.grad_inf * 10  # both converge on CSAIL...
+    assert nw.f2x <= gn.f2x + 1e-9          # ...Newton never worse
+
+
+def test_sparse_certificate_stationarity(csail_lm):
+    """S_full [t; Y] = 0 at a stationary point (M X = blkdiag(0,Lam) X)."""
+    meas, res = csail_lm
+    prob = build_sesync_problem(meas)
+    n, d = prob.n, prob.d
+    Y = np.swapaxes(res.R, 1, 2).reshape(n * d, d)
+    Lam = np.asarray(prob.Lambda_blocks(jnp.asarray(Y)))
+    S = certificate_sparse_full(meas, Lam)
+    # The explicit-state certificate annihilates the solution itself.
+    X = np.concatenate([res.t, Y], axis=0)
+    assert np.linalg.norm(S @ X) < 1e-6
+    # And the sparse M part reproduces the objective: <M X, X> = 2 F.
+    M = certificate_sparse_full(meas, np.zeros_like(Lam))
+    edges = EdgeData.from_measurements(meas, dtype=jnp.float64)
+    f2 = 2 * float(evaluate_f(edges, jnp.asarray(res.t), jnp.asarray(res.R)))
+    np.testing.assert_allclose(np.sum(X * (M @ X)), f2, rtol=1e-10)
+
+
+def test_psd_accept_at_optimum_rejects_perturbed(csail_lm):
+    meas, res = csail_lm
+    prob = build_sesync_problem(meas)
+    n, d = prob.n, prob.d
+    Y = np.swapaxes(res.R, 1, 2).reshape(n * d, d)
+    Lam = np.asarray(prob.Lambda_blocks(jnp.asarray(Y)))
+    S = certificate_sparse_full(meas, Lam)
+    assert psd_accept_splu(S, 1e-7) is True
+    # Suboptimal candidate: Lambda blocks of a perturbed Y give an
+    # indefinite certificate that the pivot test must NOT accept.
+    th = np.arctan2(res.R[:, 1, 0], res.R[:, 0, 0]).copy()
+    th[200:400] += 0.5
+    c, s = np.cos(th), np.sin(th)
+    Rbad = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+    Ybad = np.swapaxes(Rbad, 1, 2).reshape(n * d, d)
+    Lbad = np.asarray(prob.Lambda_blocks(jnp.asarray(Ybad)))
+    Sbad = certificate_sparse_full(meas, Lbad)
+    assert psd_accept_splu(Sbad, 1e-7) is not True
+
+
+def test_certify_solution_staged(csail_lm):
+    meas, res = csail_lm
+    ok, lam, bound, fxhat = certify_solution(meas, res.R)
+    assert ok and lam > -1e-5
+    assert bound < 1e-3
+    np.testing.assert_allclose(2 * fxhat, CSAIL_2F, rtol=1e-9)
+    # Negative control must reject through the staged route too.
+    th = np.arctan2(res.R[:, 1, 0], res.R[:, 0, 0]).copy()
+    th[200:400] += 0.5
+    c, s = np.cos(th), np.sin(th)
+    Rbad = np.stack([np.stack([c, -s], -1), np.stack([s, c], -1)], -2)
+    ok_b, lam_b, _, _ = certify_solution(meas, Rbad)
+    assert not ok_b and lam_b < -1e-2
+
+
+def test_arpack_deflated_matches_dense():
+    """min_eig_arpack_deflated == dense eigh on the deflated complement,
+    for a certificate-shaped matrix (S Y ~ 0: span(Y) near-invariant, the
+    structure that holds at stationarity and makes shift-deflation exact)."""
+    rng = np.random.default_rng(7)
+    nd, k = 60, 2
+    A = rng.standard_normal((nd, nd))
+    A = 0.5 * (A + A.T)
+    Y = rng.standard_normal((nd, k))
+    Q, _ = np.linalg.qr(Y)
+    P = np.eye(nd) - Q @ Q.T
+    S = P @ A @ P  # S Y = 0 exactly (the certificate structure)
+    w = np.sort(np.linalg.eigvalsh(S))
+    lamc, v, resid = min_eig_arpack_deflated(lambda x: S @ x, Y, nd)
+    np.testing.assert_allclose(lamc, w[0], atol=1e-8)
+    assert resid < 1e-6
+    assert abs(Q.T @ v).max() < 1e-8

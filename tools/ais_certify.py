@@ -79,9 +79,14 @@ def main():
     print(json.dumps(out), flush=True)
 
     if args.write_catalog and ok:
-        results = json.load(open(args.catalog))
+        results = {}
+        if os.path.exists(args.catalog):
+            results = json.load(open(args.catalog))
         results[os.path.basename(args.dataset)] = {
             "status": "GlobalOpt",
+            # No staircase ran on this route, so there is no relaxation
+            # objective to report; consumers key on fxhat_2x/status.
+            "sdp_2x": None,
             "fxhat_2x": 2 * float(fxhat),
             "lambda_min": float(lam),
             "suboptimality_bound_2x": 2 * float(bound),
@@ -89,7 +94,7 @@ def main():
             "poses": meas.num_poses,
             "edges": len(meas),
             "secs": round(secs, 1),
-            "route": "multilevel-polish + direct certificate "
+            "route": "host-LM exact-Newton polish + direct certificate "
                      "(staircase intractable; see tools/ais_certify.py)",
         }
         with open(args.catalog, "w") as fh:

@@ -167,11 +167,20 @@ def main():
                 # Checkpoint every chunk: long runs must survive the
                 # harness being killed (polish_global is monotone, so the
                 # latest chunk is always the best iterate).
-                np.savez(args.save, t=np.asarray(t), R=np.asarray(R))
+                _atomic_savez(args.save, t=np.asarray(t), R=np.asarray(R))
 
     if args.save:
-        np.savez(args.save, t=np.asarray(t), R=np.asarray(R))
+        _atomic_savez(args.save, t=np.asarray(t), R=np.asarray(R))
         print(f"saved {args.save}")
+
+
+def _atomic_savez(path, **arrays):
+    """Write-then-rename so a kill mid-write (the scenario the per-chunk
+    checkpoint guards against) can never corrupt the only checkpoint."""
+    tmp = path + ".tmp"
+    np.savez(tmp, **arrays)
+    # np.savez appends .npz to paths without the suffix.
+    os.replace(tmp if tmp.endswith(".npz") else tmp + ".npz", path)
 
 
 if __name__ == "__main__":
