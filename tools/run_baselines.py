@@ -82,6 +82,17 @@ def main():
             else s.initialize()
         f0, g0 = s._metrics(st)
         k0 = jnp.zeros((), jnp.int32)
+        # Warmup dispatch: compile the stepping scan, the metrics jit and
+        # (when used) the polish BEFORE the timed phase, so `secs` measures
+        # the solve, not compile-cache load + tunnel latency (round-3
+        # tables were ~20x pessimistic for exactly this reason).
+        st_w, _ = s.run_steps(st, k0, iters)
+        fw, _ = s._metrics(st_w)
+        float(fw)  # device_get sync
+        if polish:
+            s.polish(st_w, outer=polish, tcg=500, coarse=True)
+        st = s.initialize(dist_init=dist_init) if solver == "hash" \
+            else s.initialize()
         # Device-side chunked stepping (one dispatch per chunk; essential
         # through the axon tunnel).
         t_start = time.time()
@@ -89,7 +100,10 @@ def main():
         f1, g1 = s._metrics(st)
         float(f1)  # device_get sync
         if polish:
-            st, _ = s.polish(st, outer=polish, tcg=150)
+            # The real CLI recipe (cli.py --polish: tcg=500, coarse
+            # multilevel preconditioner) — the budget that reaches 1.6e-7
+            # on city10000 — not an under-budgeted stand-in.
+            st, _ = s.polish(st, outer=polish, tcg=500, coarse=True)
             f1, g1 = s._metrics(st)
             float(f1)
         dt = time.time() - t_start
@@ -199,6 +213,11 @@ def main():
                    certify=True, polish=10))
     add(run_config("MITb +polish", "MITb.g2o", 4, it, polish=10))
     add(run_config("city10000 +polish", "city10000.g2o", 16, it, polish=10))
+    # cfg2 datasets: the AMM* bulk rows above stop short of the certified
+    # optimum (1e-3/1e-4 gaps at 300 iters); these rows show the in-tree
+    # fix (the global polish) closing them.
+    add(run_config("intel +polish", "intel.g2o", 4, it, polish=10))
+    add(run_config("M3500 +polish", "M3500.g2o", 4, it, polish=10))
 
     print(f"wrote {args.out}")
 
