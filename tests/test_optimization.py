@@ -53,6 +53,68 @@ def test_tnls_step_solves_gauss_newton(rng):
     np.testing.assert_allclose(np.asarray(h), h_ref, atol=1e-6)
 
 
+def test_tnls_euclidean_nonlinear_ls(rng):
+    """Full TNLS on a nonlinear Euclidean LS (exponential curve fit):
+    converges to the zero-residual ground truth from a perturbed start
+    (the reference's TNLS_unit_test pattern: tiny closed-form problems,
+    solver status + numeric tolerance)."""
+    from dpgo_tpu.solvers.optimization import TNLSParams, tnls
+    tgrid = jnp.linspace(0.0, 1.0, 25)
+    p_true = jnp.asarray([1.3, -0.7])
+    model = lambda p: p[0] * jnp.exp(p[1] * tgrid)
+    y = model(p_true)
+    F = lambda p: model(p) - y
+    jac = lambda p, v: jax.jvp(F, (p,), (v,))[1]
+    jacT = lambda p, w: jax.vjp(F, p)[1](w)[0]
+    x, Fn, gn, k = tnls(F, jac, jacT, lambda p, h: p + h,
+                        jnp.asarray([2.0, 0.5]),
+                        TNLSParams(max_iterations=60))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(p_true), atol=1e-6)
+    assert float(Fn) < 1e-7
+
+
+def test_tnls_riemannian_sphere(rng):
+    """TNLS on the sphere: min |x - p| for x in S^2 -> x* = p / |p|
+    (the TNT unit test's problem, solved via the LS machinery: retraction
+    x -> (x + h)/|x + h|, tangent-space Jacobian adjoint)."""
+    from dpgo_tpu.solvers.optimization import TNLSParams, tnls
+    p = jnp.asarray([1.0, 2.0, 2.0])
+    F = lambda x: x - p
+    proj = lambda x, v: v - x * jnp.dot(x, v)
+
+    def jac(x, v):
+        return v  # dF = identity restricted to tangents
+
+    def jacT(x, w):
+        return proj(x, w)  # adjoint lands back in T_x S^2
+
+    retract = lambda x, h: (x + h) / jnp.linalg.norm(x + h)
+    x0 = jnp.asarray([0.0, 0.0, 1.0])
+    x, Fn, gn, k = tnls(F, jac, jacT, retract, x0,
+                        TNLSParams(max_iterations=60))
+    np.testing.assert_allclose(np.asarray(x), np.asarray(p) / 3.0,
+                               atol=1e-6)
+    # Minimum residual is dist(p, S^2) = |p| - 1 = 2.
+    np.testing.assert_allclose(float(Fn), 2.0, rtol=1e-9)
+    assert float(gn) < 1e-5
+
+
+def test_lsqr_trust_region_boundary(rng):
+    """With a small Delta, LSQR returns a boundary step |x| = Delta that
+    still decreases the residual (Steihaug-Toint truncation)."""
+    A = jnp.asarray(rng.normal(size=(30, 10)))
+    b = jnp.asarray(rng.normal(size=(30,)))
+    x_full = np.linalg.lstsq(np.asarray(A), np.asarray(b), rcond=None)[0]
+    Delta = 0.25 * float(np.linalg.norm(x_full))
+    x, xnorm, k = lsqr(lambda v: A @ v, lambda u: A.T @ u, b,
+                       jnp.zeros(10), max_iters=200, atol=1e-12,
+                       Delta=Delta, return_info=True)
+    np.testing.assert_allclose(float(jnp.linalg.norm(x)), Delta, rtol=1e-6)
+    r0 = float(np.linalg.norm(np.asarray(b)))
+    r1 = float(np.linalg.norm(np.asarray(A @ x - b)))
+    assert r1 < r0
+
+
 def test_proximal_gradient_lasso(rng):
     """min 1/2 |A x - b|^2 + lam |x|_1 via FISTA vs coordinate descent."""
     A = jnp.asarray(rng.normal(size=(40, 15)))
