@@ -3,17 +3,31 @@ headline config), on whatever accelerator is available.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 The reference repo publishes no numbers (BASELINE.md), so vs_baseline is the
-ratio against a recorded previous-round value when available, else null.
+ratio against the recorded round-1 value (BENCH_PREV.json).
+
+Headline (round 4+): the REFERENCE-DEFAULT refined preset — accelerated
+AMM-PGO# with the TNT refinement gate at its dist_pgo defaults
+(accepted_delta=5e-4, TNT 10/1, dist_pgo.cpp:103-120) — measured in the
+pure-throughput phase (one device-side scan dispatch, no history
+recording), with the fused single-kernel Pallas STPCG verified engaged
+(solver.fused_stpcg_engaged()). The proximal-only preset (TNT off), the
+previous rounds' headline, is tracked in extras, as are an XLA-CG A/B of
+the refined preset, MFU accounting from the compiled executable's cost
+analysis, and a chip-filling city10000 16-node row.
 """
 
 import json
 import os
-import sys
 import time
 
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/dpgo_jax_cache")
 
 import numpy as np
+
+# TPU v5e peak: 197 TFLOP/s bf16 (the MXU's native rate; f32 composes
+# multiple bf16 passes). MFU below is reported against this bf16 peak —
+# the honest "fraction of the chip" number, pessimistic for f32 math.
+V5E_PEAK_FLOPS = 197e12
 
 
 def main():
@@ -25,6 +39,7 @@ def main():
     from dpgo_tpu.io.g2o import read_g2o_file
     from dpgo_tpu.driver import DPGOSolver
     from dpgo_tpu.solvers.mm import MMOptions
+    from dpgo_tpu.solvers.tnt import TNTParams
 
     dataset = "/root/reference/dataset/sphere2500.g2o"
     if not os.path.exists(dataset):
@@ -38,105 +53,149 @@ def main():
     dtype = jnp.float32 if platform != "cpu" else jnp.float64
 
     meas = read_g2o_file(dataset)
-    # TPU-tuned preset: inner TNT refinement disabled — pure proximal
-    # AMM-PGO# (the reference's own refinement gate, Options::accepted_delta,
-    # taken to its no-refinement limit). Ablation on one v5e chip
-    # (tools/ablate_tnt.py): on sphere2500 the closed-form proximal steps
-    # alone reach the certified 1e-4 gap in 58 iterations at ~530 it/s
-    # (~0.11 s), vs 36 iterations at 80 it/s (0.45 s) with the reference
-    # default gate, with the same final gap (~1e-6). The refined preset
-    # (accepted_delta=5e-2) remains the recommended default for harder
-    # graphs; this knob only affects this benchmark configuration.
-    from dpgo_tpu.solvers.tnt import TNTParams
-    solver = DPGOSolver(meas, num_nodes=8,
-                        opts=MMOptions(accelerated=True,
-                                       tnt=TNTParams(max_iterations=0)),
-                        dtype=dtype)
-    st = solver.initialize()
-    f0, g0 = solver._metrics(st)
 
     # Certified global optimum of sphere2500 (2*f*), computed by this
-    # framework's own SE-Sync staircase + LOBPCG certification
-    # (tests/test_sesync.py machinery; GlobalOpt, lambda_min ~ 1e-9).
+    # framework's own SE-Sync staircase + certification (GlobalOpt).
     F_CERT_2X = 1687.005814
     target = F_CERT_2X * (1.0 + 1e-4)
 
-    # Warmup / compile (device-side scan: the whole iteration loop runs
-    # on-device in ONE dispatch; per-step host dispatch through the tunnel
-    # costs ~60 ms vs the ~5 ms device step).
-    n_iters = 150
-    n_tp = 600  # throughput phase: long enough that the ~0.5 s solve
-    #             dominates dispatch jitter through the tunnel
+    n_hist = 150   # history phase length (secs-to-gap measurement)
+    n_tp = 600     # pure-throughput phase length (one scan dispatch)
     k0 = jnp.zeros((), jnp.int32)
-    stw, _ = solver.run_steps(st, k0, n_tp)
-    np.asarray(stw.fobj)  # device_get: true sync through the tunnel
-    stw, _, _ = solver.run_steps_history(st, k0, n_iters)
-    np.asarray(stw.fobj)  # device_get: true sync through the tunnel
 
-    # Pure-throughput phase: ONE dispatch for all iterations, from fresh
-    # input buffers (the tunnel appears to memoize executions on identical
-    # input buffers — observed 0.4 ms for a 150-iteration re-run).
-    st = solver.initialize()
-    t0 = time.perf_counter()
-    st, _ = solver.run_steps(st, k0, n_tp)
-    np.asarray(st.fobj)  # device_get: true sync (block_until_ready is unreliable through the axon tunnel)
-    dt = time.perf_counter() - t0
-    ips = n_tp / dt
-    f1, g1 = solver._metrics(st)
-
-    # Time-to-target phase: fresh run; the (2f, 2|grad|) trajectory is
-    # recorded ON DEVICE inside the scan, so no host polling perturbs the
-    # timing. secs-to-target prorates the measured wall clock.
-    st = solver.initialize()
-    k0 = jnp.zeros((), jnp.int32)
-    t0 = time.perf_counter()
-    st, _, (fhist, _) = solver.run_steps_history(st, k0, n_iters)
-    fhist = np.asarray(fhist)  # device_get: true sync
-    dt_hist = time.perf_counter() - t0
-    secs_to_opt = None
-    iters_to_opt = None
-    hit = np.nonzero(fhist <= target)[0]
-    if hit.size:
-        iters_to_opt = int(hit[0]) + 1
-        secs_to_opt = dt_hist * iters_to_opt / n_iters
-
-    # Global second-order polish phase (solvers/polish.py): collapse the
-    # remaining tail superlinearly; report the reachable gap + wall time.
-    polish_gap = polish_secs = None
-    try:
-        st_p, _ = solver.polish(st, outer=6, tcg=100)   # compile
+    def measure(solver):
+        """(pure-throughput it/s, secs_to_gap, iters_to_gap, final 2f/2g)."""
         st = solver.initialize()
+        # Warmup/compile both jits; device_get is the only true sync
+        # through the axon tunnel (block_until_ready can return early).
+        stw, _ = solver.run_steps(st, k0, n_tp)
+        np.asarray(stw.fobj)
+        stw, _, _ = solver.run_steps_history(st, k0, n_hist)
+        np.asarray(stw.fobj)
+        # Pure throughput: fresh input buffers (the tunnel memoizes
+        # executions on identical buffers).
+        st = solver.initialize()
+        t0 = time.perf_counter()
         st, _ = solver.run_steps(st, k0, n_tp)
         np.asarray(st.fobj)
+        dt = time.perf_counter() - t0
+        ips = n_tp / dt
+        f1, g1 = solver._metrics(st)
+        # Time-to-target: device-side recorded trajectory, prorated clock.
+        st = solver.initialize()
         t0 = time.perf_counter()
-        st_p, f_pol = solver.polish(st, outer=6, tcg=100)
-        polish_secs = time.perf_counter() - t0
-        polish_gap = f_pol / F_CERT_2X - 1.0
-    except Exception:
-        pass
-
-    # Reference-default refined preset (accepted_delta=5e-4, TNT 10/1 —
-    # dist_pgo.cpp:103-120): tracked alongside the proximal-only headline so
-    # the refined path's throughput regressions are visible per round.
-    ref_ips = ref_secs_to = ref_iters_to = None
-    try:
-        sref = DPGOSolver(meas, num_nodes=8,
-                          opts=MMOptions(accelerated=True), dtype=dtype)
-        stq = sref.initialize()
-        out = sref.run_steps_history(stq, k0, n_iters)   # compile + warm
-        np.asarray(out[0].fobj)
-        stq = sref.initialize()
-        t0 = time.perf_counter()
-        stq, _, (fh_r, _) = sref.run_steps_history(stq, k0, n_iters)
-        fh_r = np.asarray(fh_r)
-        dt_r = time.perf_counter() - t0
-        ref_ips = round(n_iters / dt_r, 1)
-        hit = np.nonzero(fh_r <= target)[0]
+        st, _, (fhist, _) = solver.run_steps_history(st, k0, n_hist)
+        fhist = np.asarray(fhist)
+        dt_hist = time.perf_counter() - t0
+        secs_to = iters_to = None
+        hit = np.nonzero(fhist <= target)[0]
         if hit.size:
-            ref_iters_to = int(hit[0]) + 1
-            ref_secs_to = dt_r * ref_iters_to / n_iters
-    except Exception:
-        pass
+            iters_to = int(hit[0]) + 1
+            secs_to = dt_hist * iters_to / n_hist
+        return ips, secs_to, iters_to, float(f1), float(g1), st
+
+    # ------------------------------------------------- headline: refined
+    # Reference-default gate (dist_pgo.cpp:103-120): accepted_delta=5e-4,
+    # TNT max 10 outer / 1 accepted — MMOptions defaults.
+    solver = DPGOSolver(meas, num_nodes=8,
+                        opts=MMOptions(accelerated=True), dtype=dtype)
+    fused_engaged = solver.fused_stpcg_engaged()
+    ips, secs_to, iters_to, f1, g1, st_final = measure(solver)
+
+    extra = {
+        "platform": platform,
+        "dtype": str(jnp.dtype(dtype)),
+        "preset": "refined reference-default (TNT 10/1, "
+                  "accepted_delta=5e-4)",
+        "fused_stpcg_engaged": bool(fused_engaged),
+        "certified_opt_2x": F_CERT_2X,
+        "fobj_final_2x": f1,
+        "grad_final_2x": g1,
+        "rel_gap_final": f1 / F_CERT_2X - 1.0,
+        "secs_to_certified_opt_1e-4": secs_to,
+        "iters_to_certified_opt_1e-4": iters_to,
+    }
+
+    # --------------------------------------- A/B: refined with XLA-op CG
+    # Also the MFU basis: XLA's cost analysis does not count FLOPs inside
+    # Pallas custom calls, so the all-XLA variant (identical math) gives
+    # the honest flops/step for the headline preset.
+    try:
+        s_ab = DPGOSolver(meas, num_nodes=8,
+                          opts=MMOptions(accelerated=True,
+                                         tnt=TNTParams(fused=False)),
+                          dtype=dtype)
+        ips_ab, _, _, _, _, _ = measure(s_ab)
+        extra["refined_xla_cg_iters_per_sec"] = round(ips_ab, 1)
+        extra["fused_speedup"] = round(ips / ips_ab, 3)
+        flops_step = s_ab.step_flops(s_ab.initialize(), k0, n_tp)
+        extra["flops_per_step"] = flops_step
+        if flops_step and platform == "tpu":
+            extra["mfu_vs_bf16_peak"] = flops_step * ips / V5E_PEAK_FLOPS
+            extra["achieved_gflops"] = flops_step * ips / 1e9
+    except Exception as e:  # pragma: no cover - diagnostic only
+        extra["refined_xla_cg_error"] = repr(e)[:200]
+
+    # ------------------------------------- extras: proximal-only preset
+    try:
+        s_px = DPGOSolver(meas, num_nodes=8,
+                          opts=MMOptions(accelerated=True,
+                                         tnt=TNTParams(max_iterations=0)),
+                          dtype=dtype)
+        ips_px, secs_px, it_px, f_px, _, st_px = measure(s_px)
+        extra["proximal_only_iters_per_sec"] = round(ips_px, 1)
+        extra["proximal_only_secs_to_1e-4"] = secs_px
+        extra["proximal_only_iters_to_1e-4"] = it_px
+        # Global second-order polish tail from the proximal state.
+        try:
+            s_px.polish(st_px, outer=6, tcg=100)  # compile
+            st2 = s_px.initialize()
+            st2, _ = s_px.run_steps(st2, k0, n_tp)
+            np.asarray(st2.fobj)
+            t0 = time.perf_counter()
+            _, f_pol = s_px.polish(st2, outer=6, tcg=100)
+            extra["polish_secs"] = time.perf_counter() - t0
+            extra["polish_rel_gap"] = f_pol / F_CERT_2X - 1.0
+        except Exception:
+            pass
+    except Exception as e:  # pragma: no cover
+        extra["proximal_only_error"] = repr(e)[:200]
+
+    # --------------------------- extras: chip-filling city10000 16-node
+    # The latency-bound sphere2500 regime leaves the MXU mostly idle; this
+    # row measures the large-graph regime (10k poses, d=2 fused panels).
+    city = "/root/reference/dataset/city10000.g2o"
+    if os.path.exists(city) and platform == "tpu":
+        try:
+            meas_c = read_g2o_file(city)
+            s_c = DPGOSolver(meas_c, num_nodes=16,
+                             opts=MMOptions(accelerated=True), dtype=dtype)
+            n_c = 300
+            st_c = s_c.initialize()
+            stw, _ = s_c.run_steps(st_c, k0, n_c)
+            np.asarray(stw.fobj)
+            st_c = s_c.initialize()
+            t0 = time.perf_counter()
+            st_c, _ = s_c.run_steps(st_c, k0, n_c)
+            np.asarray(st_c.fobj)
+            dt_c = time.perf_counter() - t0
+            ips_c = n_c / dt_c
+            fs_c = s_c.step_flops(s_c.initialize(), k0, n_c)
+            f_c, g_c = s_c._metrics(st_c)
+            extra["city10000_16node"] = {
+                "iters_per_sec": round(ips_c, 1),
+                "fused_stpcg_engaged": s_c.fused_stpcg_engaged(),
+                # XLA count only — the fused Pallas CG's FLOPs are inside
+                # a custom call and invisible to cost_analysis, so this
+                # under-reports (the dense panels are 16x [4, 512, 512]).
+                "flops_per_step_xla_only": fs_c,
+                "mfu_vs_bf16_peak_lower_bound": (
+                    fs_c * ips_c / V5E_PEAK_FLOPS if fs_c else None),
+                "fobj_2x_300it": float(f_c),
+                "certified_opt_2x": 638.624619,
+            }
+        except Exception as e:  # pragma: no cover
+            extra["city10000_error"] = repr(e)[:200]
 
     prev_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PREV.json")
@@ -154,24 +213,8 @@ def main():
         "value": round(ips, 3),
         "unit": "iter/s",
         "vs_baseline": vs,
-        "extra": {
-            "platform": platform,
-            "dtype": str(jnp.dtype(dtype)),
-            "fobj_init_2x": float(f0),
-            "fobj_final_2x": float(f1),
-            "grad_final_2x": float(g1),
-            "certified_opt_2x": F_CERT_2X,
-            "secs_to_certified_opt_1e-4": secs_to_opt,
-            "iters_to_certified_opt_1e-4": iters_to_opt,
-            "rel_gap_final": float(f1) / F_CERT_2X - 1.0,
-            "polish_rel_gap": polish_gap,
-            "polish_secs": polish_secs,
-            "refined_default_iters_per_sec": ref_ips,
-            "refined_default_secs_to_1e-4": ref_secs_to,
-            "refined_default_iters_to_1e-4": ref_iters_to,
-        },
+        "extra": extra,
     }))
-
 
 
 if __name__ == "__main__":

@@ -280,6 +280,39 @@ class DPGOSolver:
         g = grad_norm(self.edges, t, R, self.loss, self.loss_reg)
         return 2.0 * f, 2.0 * g
 
+    def fused_stpcg_engaged(self) -> bool:
+        """True iff the TNT refinement's trust-region subproblem runs in the
+        fused single-kernel Pallas STPCG (ops/pallas_stpcg.py) — i.e. the
+        VMEM operator panels were built (dense path, f32, fits_vmem) AND
+        the dense preconditioner is selected AND refinement is enabled.
+        Replicates the gate in mm._make_tnt_model_dense exactly; bench.py
+        asserts this so the published refined-preset number provably
+        exercises the fused kernel."""
+        from dpgo_tpu.solvers.mm import resolve_preconditioner
+        return (int(self.probs.Hpan.shape[-1]) > 1
+                and resolve_preconditioner(self.probs, self.opts) == "dense"
+                and self.opts.tnt.max_iterations > 0
+                and self.opts.tnt.max_iterations_accepted > 0
+                and self.opts.tnt.fused)
+
+    def step_flops(self, st: MMState, k0, num_steps: int) -> float | None:
+        """XLA-estimated FLOPs per solver iteration, from the compiled
+        multi-step executable's cost analysis (the basis for the bench's
+        MFU accounting). None when the backend exposes no cost model."""
+        try:
+            if self._embed_consts:
+                lowered = self._multi_step.lower(st, k0,
+                                                 num_steps=num_steps)
+            else:
+                lowered = self._multi_step.lower(self.probs, st, k0,
+                                                 num_steps=num_steps)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, (list, tuple)):
+                cost = cost[0]
+            return float(cost["flops"]) / num_steps
+        except Exception:
+            return None
+
     def _node_block_precondition(self, probs: NodeProblem):
         """Node-block surrogate preconditioner for the global polish: per
         node, the exact split-inverse mG00 solve for translations and the

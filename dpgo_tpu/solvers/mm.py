@@ -404,7 +404,8 @@ def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
     # operator panels were built (f32 3-D VMEM-sized blocks) and the model
     # uses the matching dense preconditioner.
     fused = None
-    if p.Hpan.shape[-1] > 1 and precon == "dense" and tnt_params is not None:
+    if (p.Hpan.shape[-1] > 1 and precon == "dense"
+            and tnt_params is not None and tnt_params.fused):
         import functools
 
         from dpgo_tpu.ops.pallas_stpcg import stpcg_fused

@@ -58,6 +58,10 @@ class TNTParams:
     max_tCG_iterations: int = 250
     kappa_fgr: float = 0.05
     theta: float = 0.9
+    # Use the fused single-kernel Pallas STPCG (ops/pallas_stpcg.py) when
+    # the problem's VMEM panels were built; False forces the portable
+    # XLA-op CG (A/B lever for bench.py's fused-engagement verification).
+    fused: bool = True
 
 
 class TNTModel(NamedTuple):

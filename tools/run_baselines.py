@@ -59,7 +59,8 @@ def main():
 
     def run_config(name, dataset, nodes, iters, accelerated=True,
                    solver="hash", loss=Loss.TRIVIAL, pcm=False,
-                   dist_init=False, certify=False, polish=0):
+                   dist_init=False, certify=False, polish=0,
+                   dynamic=False):
         path = dataset if os.path.isabs(dataset) \
             else os.path.join(DATA, dataset)
         meas = read_g2o_file(path)
@@ -76,7 +77,8 @@ def main():
             pcm_note = ""
         cls = DPGOStarSolver if solver == "star" else DPGOSolver
         s = cls(meas, num_nodes=nodes,
-                opts=MMOptions(accelerated=accelerated),
+                opts=MMOptions(accelerated=accelerated,
+                               rescale="dynamic" if dynamic else "static"),
                 loss=loss, loss_reg=0.25, dtype=dtype)
         st = s.initialize(dist_init=dist_init) if solver == "hash" \
             else s.initialize()
@@ -194,6 +196,8 @@ def main():
     add(run_config("cfg3 AMM# 8-node", "torus3D.g2o", 8, it))
     add(run_config("cfg4 Huber+PCM", "city10000.g2o", 16, it,
                    loss=Loss.HUBER, pcm=True))
+    add(run_config("cfg4 Huber+dynamic", "city10000.g2o", 16, it,
+                   loss=Loss.HUBER, dynamic=True))
     add(run_config("cfg4 Welsch", "smallGrid3D.g2o", 4, it,
                    loss=Loss.WELSCH))
     if os.path.exists(grid_synth):

@@ -85,8 +85,13 @@ def main():
     meas = read_g2o_file(os.path.join(DATA, "city10000.g2o"))
     f, g = run(meas, 16, MMOptions(accelerated=True, rescale="dynamic"),
                150, loss=Loss.HUBER, loss_reg=0.25)
-    check("city10000 huber+dynamic f32 16-node", 550.0 < f < 700.0,
-          f"2f={f:.4f}")
+    # CPU f64 reference for THIS exact config/iteration count (driver
+    # round 4, 16-node huber+dynamic 150 iters): 2f = 641.765. Coarse
+    # trajectory-parity tolerance: f32 rounding + restart-path divergence
+    # accumulate over 150 iterations, but a miscompile-class failure is
+    # orders of magnitude off (the embed bug produced 16707 on CSAIL).
+    check("city10000 huber+dynamic f32 16-node",
+          abs(f / 641.7653 - 1.0) < 0.02, f"2f={f:.4f} (cpu f64 641.77)")
 
     # 6b. dynamic-rescale embedded-constant miscompile sentinel
     # (driver.py _embed_consts note): the workaround forces argument-passing
