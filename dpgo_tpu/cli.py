@@ -84,10 +84,12 @@ def main(argv=None):
                          "'64,256'; multilevel hierarchy for corridor "
                          "graphs with multiscale conditioning)")
     ap.add_argument("--lm_polish", action="store_true",
-                    help="(d=2, trivial loss) finish with the host-side "
-                         "exact sparse Newton polish (solvers/host_lm.py): "
+                    help="(trivial loss) finish with the host-side exact "
+                         "sparse Newton polish (solvers/host_lm.py): "
                          "SuperLU-factored normal equations, conditioning-"
-                         "immune — the recipe that certifies ais2klinik")
+                         "immune — the recipe that certifies ais2klinik. "
+                         "d=2: exact Newton (theta chart); d=3: Gauss-"
+                         "Newton LM (SE(3) local chart)")
     args = ap.parse_args(argv)
 
     import jax
@@ -184,12 +186,12 @@ def main(argv=None):
         print(f"polish({args.polish}): {float(f):.20g} {float(g):.20g}")
 
     if args.lm_polish:
-        if meas.d != 2 or loss is not Loss.TRIVIAL:
-            raise SystemExit("--lm_polish requires d=2 and trivial loss")
-        from dpgo_tpu.solvers.host_lm import lm_polish_2d
+        if loss is not Loss.TRIVIAL:
+            raise SystemExit("--lm_polish requires trivial loss")
+        from dpgo_tpu.solvers.host_lm import lm_polish
         t_g, R_g = map(np.asarray, solver.gather_global(st))
         t_start = time.perf_counter()
-        res = lm_polish_2d(meas, t_g, R_g)
+        res = lm_polish(meas, t_g, R_g)
         elapsed += time.perf_counter() - t_start
         st = solver.initialize(res.t, res.R)
         f, g = solver._metrics(st)

@@ -269,11 +269,37 @@ def sesync(meas: Measurements, opts: SESyncOpts = SESyncOpts(),
         Lam = prob.Lambda_blocks(Y)
         apply_S = jax.jit(lambda V: prob.apply_S(Lam, V))
         key, sub = jax.random.split(key)
-        lam_min, vec, lamc, eps = certificate_lambda_bound(
-            apply_S, Y, sub, dtype, opts.min_eig_tol,
-            iters=opts.lobpcg_iters)
+        # Reference fast_verification order: cheap sparse PSD accept, then
+        # ARPACK; the sparse translation-explicit certificate only models
+        # the simplified/explicit formulations (LOBPCG handles sosync).
+        lam_min = vec = None
+        if formulation != "sosync":
+            try:
+                lam_min, vec, lamc, eps = staged_lambda_bound(
+                    meas, Lam, apply_S, Y, dtype, opts.min_eig_tol)
+            except Exception:
+                lam_min = None
+        if lam_min is None or (lam_min < -opts.min_eig_tol and vec is None):
+            # Need LOBPCG either because the staged path was unavailable,
+            # or the PSD accept failed only through a large stationarity
+            # defect eps (vec=None) and a saddle escape direction is
+            # required.
+            lam_min, vec, lamc, eps = certificate_lambda_bound(
+                apply_S, Y, sub, dtype, opts.min_eig_tol,
+                iters=opts.lobpcg_iters)
         if lam_min >= -opts.min_eig_tol:
             status = "GlobalOpt"
+            break
+        if lamc >= -opts.min_eig_tol / 2:
+            # No genuinely negative curvature direction in span(Y)^perp:
+            # the failed verdict comes from the stationarity defect eps /
+            # eigensolver imprecision, not a saddle — escalating the rank
+            # would burn the staircase to MaxRank on a point that is
+            # (numerically) already optimal. The reference stops here with
+            # EigImprecision (SESync.cpp:380-388); callers can polish the
+            # estimate to tighter stationarity and re-certify directly
+            # (lm_polish + certify_solution).
+            status = "EigImprecision"
             break
         if rank == opts.rmax:
             break
@@ -443,6 +469,34 @@ def min_eig_arpack_deflated(apply_S_np, Y: np.ndarray, nd: int,
     return lamc, v, float(np.linalg.norm(res))
 
 
+def staged_lambda_bound(meas: Measurements, Lam, apply_S, Y, dtype,
+                        min_eig_tol: float, eta_psd: float = 1e-7):
+    """Reference-ordered certificate bound: sparse Cholesky-equivalent PSD
+    accept on S_full first (fast_verification stage 1), ARPACK deflated
+    eigensolve on failure — both feeding the same residual-honest 2x2
+    interaction bound as certificate_lambda_bound. Returns
+    (lam_lb, escape_vec_or_None, lamc_cons, eps); raises on ARPACK
+    breakdown (callers fall back to LOBPCG)."""
+    Y_np = np.asarray(Y, np.float64)
+    Qo, _ = np.linalg.qr(Y_np)
+    eps = float(np.linalg.norm(np.asarray(apply_S(jnp.asarray(Qo, dtype)))))
+
+    def bound(lamc_c):
+        return 0.5 * ((lamc_c - eps) - float(
+            np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
+
+    Sfull = certificate_sparse_full(meas, np.asarray(Lam))
+    if psd_accept_splu(Sfull, eta_psd) is True:
+        return bound(-eta_psd), None, -eta_psd, eps
+
+    def apply_S_np(v):
+        return np.asarray(apply_S(jnp.asarray(v[:, None], dtype))).ravel()
+
+    lamc, vec, resid = min_eig_arpack_deflated(
+        apply_S_np, Y_np, Y_np.shape[0], tol=min(1e-8, min_eig_tol))
+    return bound(lamc - resid), jnp.asarray(vec, dtype), lamc - resid, eps
+
+
 def certify_solution(meas: Measurements, R: np.ndarray,
                      min_eig_tol: float = 1e-5, dtype=jnp.float64,
                      lobpcg_iters: int = 300, precon: str | None = "auto",
@@ -476,34 +530,16 @@ def certify_solution(meas: Measurements, R: np.ndarray,
             + 0.5 * n * d * max(0.0, -min(lam_min, 0.0))
         return lam_min >= -min_eig_tol, lam_min, bound, fxhat
 
-    Y_np = np.asarray(Y, np.float64)
-
-    def apply_S_np(v):
-        return np.asarray(apply_S(jnp.asarray(v[:, None], dtype))).ravel()
-
     if method == "auto":
-        # Stage 1: sparse Cholesky-equivalent PSD accept (the reference's
-        # CHOLMOD attempt). Success proves S_full >= -eta_psd I, hence (by
-        # the Schur-complement transfer) the simplified S is PSD to the
-        # same shift; the stationarity defect is charged separately via
-        # eps = |S Yhat| exactly as in certificate_lambda_bound.
-        Sfull = certificate_sparse_full(meas, np.asarray(Lam))
-        ok = psd_accept_splu(Sfull, eta_psd)
-        Qo, _ = np.linalg.qr(Y_np)
-        eps = float(np.linalg.norm(
-            np.asarray(apply_S(jnp.asarray(Qo, dtype)))))
-        if ok is True:
-            lamc_c = -eta_psd
-            lam_min = 0.5 * ((lamc_c - eps) - float(
-                np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
-            return finish(lam_min)
-        # Stage 2: ARPACK deflated eigensolve, residual-honest.
+        # Stage 1+2 (staged_lambda_bound): sparse Cholesky-equivalent PSD
+        # accept — success proves S_full >= -eta_psd I, hence (by the
+        # Schur-complement transfer) the simplified S is PSD to the same
+        # shift, with the stationarity defect charged via eps = |S Yhat|
+        # exactly as in certificate_lambda_bound — then ARPACK deflated
+        # eigensolve on failure.
         try:
-            lamc, _, resid = min_eig_arpack_deflated(
-                apply_S_np, Y_np, n * d, tol=min(1e-8, min_eig_tol))
-            lamc_c = lamc - resid
-            lam_min = 0.5 * ((lamc_c - eps) - float(
-                np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
+            lam_min, _, _, _ = staged_lambda_bound(
+                meas, Lam, apply_S, Y, dtype, min_eig_tol, eta_psd)
             return finish(lam_min)
         except Exception:
             pass  # ARPACK breakdown: fall through to LOBPCG

@@ -204,3 +204,160 @@ def lm_polish_2d(meas: Measurements, t0: np.ndarray, R0: np.ndarray,
     return LMResult(t=t, R=_R_of(theta), f2x=2 * f,
                     grad_inf=float(np.max(np.abs(g))), iters=it,
                     converged=converged)
+
+
+# ---------------------------------------------------------------------------
+# d = 3: SE(3) local chart (right-perturbation R_i <- R_i Exp(w_i^)),
+# Gauss-Newton LM with per-iteration re-linearization.
+# ---------------------------------------------------------------------------
+
+
+def _hat(w):
+    """[m, 3] -> [m, 3, 3] skew matrices."""
+    O = np.zeros_like(w[:, 0])
+    return np.stack([
+        np.stack([O, -w[:, 2], w[:, 1]], -1),
+        np.stack([w[:, 2], O, -w[:, 0]], -1),
+        np.stack([-w[:, 1], w[:, 0], O], -1)], -2)
+
+
+def _expmap(w):
+    """[n, 3] rotation vectors -> [n, 3, 3] rotations (Rodrigues)."""
+    th = np.linalg.norm(w, axis=1, keepdims=True)
+    th = np.maximum(th, 1e-300)
+    a = (np.sin(th) / th)[:, :, None]
+    b = ((1 - np.cos(th.ravel())) / th.ravel() ** 2)[:, None, None]
+    W = _hat(w)
+    return np.eye(3) + a * W + b * (W @ W)
+
+
+def _residual_3d(meas: Measurements, t, R):
+    Ri = R[meas.i]
+    rt = np.sqrt(meas.tau)[:, None] * (
+        t[meas.i] + np.einsum("eab,eb->ea", Ri, meas.t) - t[meas.j])
+    rR = np.sqrt(meas.kappa)[:, None, None] * (
+        np.einsum("eab,ebc->eac", Ri, meas.R) - R[meas.j])
+    return np.concatenate([rt.ravel(), rR.reshape(len(meas.i), 9).ravel()])
+
+
+def _jacobian_3d(meas: Measurements, t, R):
+    """Sparse J of the stacked residual wrt the local chart
+    (dt_i [3], w_i [3] with R_i <- R_i Exp(w_i^)), at w = 0.
+
+    d(R_i Exp(w^) t~)/dw = -R_i [t~]_x ;  d(R_i Exp(w^) R~)/dw_k =
+    R_i [e_k]_x R~ ;  d(R_j Exp(w^))/dw_k = R_j [e_k]_x."""
+    n = t.shape[0]
+    i, j = meas.i, meas.j
+    m = len(i)
+    sq_tau = np.sqrt(meas.tau)
+    sq_kap = np.sqrt(meas.kappa)
+    Ri, Rj = R[i], R[j]
+    rows, cols, vals = [], [], []
+
+    def add(rr, cc, vv):
+        rows.append(np.broadcast_to(rr, vv.shape).ravel())
+        cols.append(np.broadcast_to(cc, vv.shape).ravel())
+        vals.append(np.ascontiguousarray(vv).ravel())
+
+    e = np.arange(m)
+    comp = np.arange(3)
+    # --- translation rows (3 per edge): ids 3e + a.
+    rt_rows = 3 * e[:, None] + comp[None, :]                       # [m, 3]
+    eye3 = np.broadcast_to(np.eye(3), (m, 3, 3))
+    # dt_i / dt_j
+    add(rt_rows[:, :, None], 6 * i[:, None, None] + comp[None, None, :],
+        sq_tau[:, None, None] * eye3)
+    add(rt_rows[:, :, None], 6 * j[:, None, None] + comp[None, None, :],
+        -sq_tau[:, None, None] * eye3)
+    # w_i: -sqrt(tau) R_i [t~]_x  -> [m, 3(row a), 3(col k)]
+    dRt = -np.einsum("eab,ebk->eak", Ri, _hat(meas.t))
+    add(rt_rows[:, :, None], 6 * i[:, None, None] + 3 + comp[None, None, :],
+        sq_tau[:, None, None] * dRt)
+    # --- rotation rows (9 per edge): ids 3m + 9e + (3a + b) for entry
+    # (a, b) of the residual matrix.
+    ab = np.arange(9)
+    rR_rows = 3 * m + 9 * e[:, None] + ab[None, :]                 # [m, 9]
+    # w_i: d(R_i R~)/dw_k entry (a,b) = (R_i [e_k]_x R~)[a, b]
+    Ek = _hat(np.eye(3))                                           # [3, 3, 3]
+    dRi = np.einsum("eab,kbc,ecd->eadk", Ri, Ek, meas.R)           # [m,3,3,3]
+    add(rR_rows[:, :, None],
+        6 * i[:, None, None] + 3 + comp[None, None, :],
+        sq_kap[:, None, None] * dRi.reshape(m, 9, 3))
+    # w_j: -d(R_j)/dw_k = -(R_j [e_k]_x)
+    dRj = -np.einsum("eab,kbc->eack", Rj, Ek)                      # [m,3,3,3]
+    add(rR_rows[:, :, None],
+        6 * j[:, None, None] + 3 + comp[None, None, :],
+        sq_kap[:, None, None] * dRj.reshape(m, 9, 3))
+    J = sp.coo_matrix(
+        (np.concatenate(vals),
+         (np.concatenate(rows), np.concatenate(cols))),
+        shape=(12 * m, 6 * n)).tocsr()
+    return J
+
+
+def lm_polish_3d(meas: Measurements, t0: np.ndarray, R0: np.ndarray,
+                 max_iters: int = 50, grad_tol: float = 1e-10,
+                 lam0: float = 1e-6, verbose: bool = False) -> LMResult:
+    """Sparse Gauss-Newton LM on the d=3 chordal PGO objective in the
+    SE(3) local chart (right perturbation, re-linearized per iteration;
+    SuperLU-factored normal equations — conditioning-immune like the d=2
+    path; GN rather than exact Newton, so local convergence is linear at
+    nonzero residual but each step is an exact subproblem solve)."""
+    assert meas.d == 3, "lm_polish_3d: d=3 only"
+    t = np.asarray(t0, np.float64).copy()
+    R = np.asarray(R0, np.float64).copy()
+    lam = lam0
+    r = _residual_3d(meas, t, R)
+    f = 0.5 * float(r @ r)
+    J = _jacobian_3d(meas, t, R)
+    it = 0
+    converged = False
+    for it in range(1, max_iters + 1):
+        g = J.T @ r
+        ginf = float(np.max(np.abs(g)))
+        if verbose:
+            print(f"  lm3 iter {it - 1}: 2f={2 * f:.12g} "
+                  f"|g|_inf={ginf:.3e} lam={lam:.1e}", flush=True)
+        if ginf < grad_tol:
+            converged = True
+            break
+        H = (J.T @ J).tocsc()
+        dscale = np.maximum(np.abs(H.diagonal()), 1e-12)
+        accepted = False
+        for _ in range(40):
+            A = (H + sp.diags(lam * dscale)).tocsc()
+            try:
+                step = spla.splu(A).solve(-g)
+            except RuntimeError:
+                lam = max(lam, 1e-12) * 10.0
+                continue
+            if not np.all(np.isfinite(step)):
+                lam = max(lam, 1e-12) * 10.0
+                continue
+            s6 = step.reshape(-1, 6)
+            t_new = t + s6[:, :3]
+            R_new = R @ _expmap(s6[:, 3:])
+            r_new = _residual_3d(meas, t_new, R_new)
+            f_new = 0.5 * float(r_new @ r_new)
+            if f_new < f:
+                t, R, f, r = t_new, R_new, f_new, r_new
+                J = _jacobian_3d(meas, t, R)
+                lam = max(lam * 0.3, 1e-14)
+                accepted = True
+                break
+            lam = max(lam, 1e-12) * 10.0
+        if not accepted:
+            break
+    g = J.T @ r
+    return LMResult(t=t, R=R, f2x=2 * f,
+                    grad_inf=float(np.max(np.abs(g))), iters=it,
+                    converged=converged)
+
+
+def lm_polish(meas: Measurements, t0: np.ndarray, R0: np.ndarray,
+              **kw) -> LMResult:
+    """Dimension dispatcher: exact-Newton theta chart for d=2, SE(3)
+    local-chart Gauss-Newton for d=3."""
+    if meas.d == 2:
+        return lm_polish_2d(meas, t0, R0, **kw)
+    return lm_polish_3d(meas, t0, R0, **kw)

@@ -113,6 +113,44 @@ def test_certify_solution_staged(csail_lm):
     assert not ok_b and lam_b < -1e-2
 
 
+def test_lm3d_zero_noise_exact():
+    """d=3 LM on the zero-noise sphere_small: residual collapses to
+    machine zero (the Jacobian chart is exact at the solution)."""
+    meas = read_g2o_file(dataset_path("sphere_small.g2o"))
+    R0 = chordal_initialization(meas)
+    t0 = recover_translations_global(meas, R0)
+    from dpgo_tpu.solvers.host_lm import lm_polish
+    res = lm_polish(meas, t0, R0)
+    assert res.f2x < 1e-20
+    # Rotations stay on SO(3) through the Exp-map updates.
+    RtR = np.einsum("nab,nac->nbc", res.R, res.R)
+    np.testing.assert_allclose(RtR, np.tile(np.eye(3), (res.R.shape[0],
+                                                        1, 1)), atol=1e-12)
+    np.testing.assert_allclose(np.linalg.det(res.R), 1.0, atol=1e-12)
+
+
+def test_lm3d_sphere2500_reaches_certified_optimum():
+    """d=3 Gauss-Newton LM from chordal init lands on sphere2500's
+    certified global optimum (catalog 2f* = 1687.0058142779)."""
+    import json
+    import os
+    cat_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "certified_optima.json")
+    if not os.path.exists(cat_path):
+        pytest.skip("catalog not built")
+    f_star = json.load(open(cat_path))["sphere2500.g2o"]["fxhat_2x"]
+    meas = read_g2o_file(dataset_path("sphere2500.g2o"))
+    R0 = chordal_initialization(meas)
+    t0 = recover_translations_global(meas, R0)
+    from dpgo_tpu.solvers.host_lm import lm_polish
+    res = lm_polish(meas, t0, R0)
+    edges = EdgeData.from_measurements(meas, dtype=jnp.float64)
+    f2 = 2 * float(evaluate_f(edges, jnp.asarray(res.t),
+                              jnp.asarray(res.R)))
+    np.testing.assert_allclose(f2, f_star, rtol=1e-9)
+    assert res.grad_inf < 1e-8
+
+
 def test_ais2klinik_lm_reaches_certified_optimum():
     """ais2klinik end-to-end: chordal init + exact-Newton LM reaches the
     certified global optimum (catalog entry written by tools/ais_certify.py;

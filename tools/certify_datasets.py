@@ -51,12 +51,45 @@ def main():
             t0 = time.time()
             meas = read_g2o_file(path)
             res = sesync(meas)
+            status = res.status
+            fxhat_2x = 2 * res.fxhat
+            lam = res.lambda_min
+            bound_2x = 2 * res.suboptimality_bound
+            # Host-LM polish + direct certificate: the staircase's TNT
+            # stalls on relative-decrease at large objective scales
+            # (EigImprecision cases, e.g. sphere_bignoise), while the
+            # exact-Newton polish reaches machine-precision stationarity
+            # so the staged sparse certificate gives a clean verdict.
+            try:
+                from dpgo_tpu.sesync.staircase import certify_solution
+                from dpgo_tpu.solvers.host_lm import lm_polish
+                lmres = lm_polish(meas, res.t, res.R)
+                ok, lam_d, bound_d, fx_d = certify_solution(meas, lmres.R)
+                improved = 2 * fx_d <= fxhat_2x \
+                    + 1e-9 * max(1.0, abs(fxhat_2x))
+                if ok and improved:
+                    # Clean direct certificate of the polished estimate.
+                    status = "GlobalOpt"
+                    fxhat_2x = 2 * fx_d
+                    lam = float(lam_d)
+                    bound_2x = 2 * bound_d
+                elif improved and status == "GlobalOpt":
+                    # Relaxation certified globally but not tight at rank d
+                    # (rounding gap, e.g. tinyGrid3D): keep the SDP
+                    # certificate, adopt the better feasible value, and
+                    # report the honest duality-gap bound
+                    # f(xhat) - f* <= f(xhat) - sdp_val.
+                    fxhat_2x = 2 * fx_d
+                    bound_2x = fxhat_2x - 2 * res.sdp_val
+            except Exception as e:
+                print(f"  (lm polish skipped: {type(e).__name__} {e})",
+                      flush=True)
             results[name] = {
-                "status": res.status,
-                "fxhat_2x": 2 * res.fxhat,
+                "status": status,
+                "fxhat_2x": fxhat_2x,
                 "sdp_2x": 2 * res.sdp_val,
-                "lambda_min": res.lambda_min,
-                "suboptimality_bound_2x": 2 * res.suboptimality_bound,
+                "lambda_min": lam,
+                "suboptimality_bound_2x": bound_2x,
                 "rank": res.rank,
                 "poses": meas.num_poses,
                 "edges": len(meas),
