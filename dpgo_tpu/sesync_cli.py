@@ -21,6 +21,12 @@ def main(argv=None):
     ap.add_argument("--formulation", default="simplified",
                     choices=["simplified", "sosync", "explicit"])
     ap.add_argument("--min_eig_tol", type=float, default=1e-5)
+    ap.add_argument("--lm", action="store_true",
+                    help="finish with the host exact-Newton LM polish "
+                         "(solvers/host_lm.py) and re-certify directly — "
+                         "tightens the rounded estimate when the rank-d "
+                         "rounding or an EigImprecision stall leaves a "
+                         "stationarity defect")
     ap.add_argument("--save", action="store_true")
     args = ap.parse_args(argv)
 
@@ -44,6 +50,21 @@ def main(argv=None):
     print(f"rounded F (2x):     {2 * res.fxhat:.12g}")
     print(f"lambda_min(S):      {res.lambda_min:.6e}")
     print(f"suboptimality <=    {2 * res.suboptimality_bound:.6e}")
+
+    if args.lm:
+        from dpgo_tpu.sesync.staircase import certify_solution
+        from dpgo_tpu.solvers.host_lm import lm_polish
+        t0 = time.time()
+        lmres = lm_polish(meas, res.t, res.R)
+        ok, lam, bound, fx = certify_solution(
+            meas, lmres.R, min_eig_tol=args.min_eig_tol)
+        print(f"lm polish ({lmres.iters} it, {time.time() - t0:.1f}s): "
+              f"2f = {2 * fx:.12g}  |g|_inf = {lmres.grad_inf:.2e}")
+        print(f"direct certificate: "
+              f"{'GLOBAL OPT' if ok else 'uncertified'}  "
+              f"lambda_min={lam:.3e}  bound(2x)={2 * bound:.3e}")
+        if 2 * fx < 2 * res.fxhat:
+            res.t, res.R = lmres.t, lmres.R
 
     if args.save:
         t_n = res.t - res.t[0]
