@@ -100,6 +100,13 @@ def main():
     solver = DPGOSolver(meas, num_nodes=8,
                         opts=MMOptions(accelerated=True), dtype=dtype)
     fused_engaged = solver.fused_stpcg_engaged()
+    # The published refined-preset number must provably exercise the fused
+    # Pallas CG: on TPU f32 the gate's conditions (dense path, VMEM fit,
+    # dense preconditioner, refinement on) all hold for sphere2500/8, so a
+    # disengaged gate is a regression, not a configuration choice.
+    assert fused_engaged or platform == "cpu", (
+        "fused STPCG gate disengaged on TPU — refined headline would "
+        "silently run the XLA-op CG")
     ips, secs_to, iters_to, f1, g1, st_final = measure(solver)
 
     extra = {

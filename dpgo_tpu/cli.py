@@ -105,6 +105,9 @@ def main(argv=None):
 
     meas = read_g2o_file(args.dataset)
     loss = Loss(args.loss)
+    # Validate flag combinations BEFORE the (possibly multi-minute) solve.
+    if args.lm_polish and loss is not Loss.TRIVIAL:
+        raise SystemExit("--lm_polish requires trivial loss")
     print(f"dataset: {args.dataset}  poses={meas.num_poses}  "
           f"edges={len(meas)}  d={meas.d}")
 
@@ -186,8 +189,6 @@ def main(argv=None):
         print(f"polish({args.polish}): {float(f):.20g} {float(g):.20g}")
 
     if args.lm_polish:
-        if loss is not Loss.TRIVIAL:
-            raise SystemExit("--lm_polish requires trivial loss")
         from dpgo_tpu.solvers.host_lm import lm_polish
         t_g, R_g = map(np.asarray, solver.gather_global(st))
         t_start = time.perf_counter()

@@ -353,8 +353,15 @@ def certificate_sparse_full(meas: Measurements, Lam_blocks: np.ndarray):
         rR-rows: sqrt(kappa)(R~^T Y_i - Y_j)                   (d rows/edge)
 
     By the generalized Schur-complement argument, S_full >= 0 iff the
-    simplified certificate S = Q - Lam >= 0 (SE-Sync Prop. 4 machinery), so
-    the PSD accept transfers exactly."""
+    simplified certificate S = Q - Lam >= 0 (SE-Sync Prop. 4 machinery).
+    CAUTION — the eta-SHIFTED accept does NOT transfer at the same eta:
+    for a unit eigenvector y of S, the full-state Rayleigh quotient at
+    x = [t*(y); y] is lambda / (1 + |t*(y)|^2) with t*(y) = -L_tau^+ V y,
+    so S_full >= -eta I only proves S >= -eta (1 + |L^+ V|_2^2) I.
+    Callers must deflate eta by the compression factor
+    (`translation_compression`); the reference's own fast_verification
+    ignores this (CHOLMOD attempt at the raw eta, SESync_utils.cpp:
+    721-757) — we keep the stronger guarantee."""
     import scipy.sparse as sp
     n, d, m = meas.num_poses, meas.d, len(meas)
     i, j = meas.i, meas.j
@@ -391,6 +398,62 @@ def certificate_sparse_full(meas: Measurements, Lam_blocks: np.ndarray):
         [sp.csr_matrix((n, n))] + [sp.csr_matrix(np.asarray(Lam_blocks[k]))
                                    for k in range(n)], format="csr")
     return (M - Lam).tocsc()
+
+
+def translation_compression(meas: Measurements, iters: int = 30,
+                            seed: int = 0) -> float:
+    """Estimate sigma^2 = |L_tau^+ V|_2^2 — the factor by which negative
+    curvature of the simplified certificate S is compressed in the
+    translation-explicit S_full (see certificate_sparse_full). Power
+    iteration on V^T L^-1 L^-1 V with a grounded (pose-0-removed) sparse
+    factorization of the tau-Laplacian; the grounded solve's norm upper-
+    bounds the min-norm response, so the estimate errs conservative in
+    that respect (power iteration itself converges from below — callers
+    apply a safety factor)."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    n, d = meas.num_poses, meas.d
+    i, j = meas.i, meas.j
+    L = sp.coo_matrix(
+        (np.concatenate([meas.tau, meas.tau, -meas.tau, -meas.tau]),
+         (np.concatenate([i, j, i, j]), np.concatenate([i, j, j, i]))),
+        shape=(n, n)).tocsc()
+    lu = spla.splu(L[1:, 1:].tocsc())
+
+    # V = t-R coupling block of M = B^T B: row t_i couples to Y_i rows via
+    # tau * t~ (and the pure-translation rows cancel against t_j). Apply
+    # V / V^T edge-wise rather than slicing M (cheap, allocation-free).
+    def V_apply(w):            # w [dn] -> [n]
+        Wb = w.reshape(n, d)
+        c = meas.tau * np.einsum("ea,ea->e", meas.t, Wb[i])
+        out = np.zeros(n)
+        np.add.at(out, i, c)
+        np.add.at(out, j, -c)
+        return out
+
+    def Vt_apply(u):           # u [n] -> [dn]
+        s = meas.tau * (u[i] - u[j])
+        out = np.zeros((n, d))
+        np.add.at(out, i, s[:, None] * meas.t)
+        return out.ravel()
+
+    rng = np.random.default_rng(seed)
+    w = rng.standard_normal(n * d)
+    w /= np.linalg.norm(w)
+    sig2 = 0.0
+    for _ in range(iters):
+        u = V_apply(w)                                   # V w
+        z = np.concatenate([[0.0], lu.solve(u[1:])])     # L^+ (V w)
+        z -= z.mean()
+        z2 = np.concatenate([[0.0], lu.solve(z[1:])])    # L^+ L^+ (V w)
+        z2 -= z2.mean()
+        v = Vt_apply(z2)                                 # V^T L^-2 V w
+        nrm = np.linalg.norm(v)
+        if nrm == 0:
+            break
+        sig2 = nrm  # Rayleigh estimate of lambda_max(V^T L^-2 V) = sigma^2
+        w = v / nrm
+    return float(sig2)
 
 
 def psd_accept_splu(S, eta: float):
@@ -452,12 +515,28 @@ def min_eig_arpack_deflated(apply_S_np, Y: np.ndarray, nd: int,
             v = w / nrm
         shift = 4.0 * max(nrm, 1.0)
 
+    # The target eigenvalue sits at ~0 for healthy certificates, where
+    # ARPACK's RELATIVE tolerance can never be met — offset the whole
+    # spectrum by -c0 so the target has magnitude ~c0; the offset is
+    # removed from the returned Rayleigh pair (and the honest residual is
+    # recomputed on the true operator regardless).
+    c0 = 0.5 * shift
+
     def mv(x):
-        return apply_S_np(x) + shift * (Q @ (Q.T @ x))
+        return apply_S_np(x) + shift * (Q @ (Q.T @ x)) - c0 * x
 
     op = spla.LinearOperator((nd, nd), matvec=mv, dtype=np.float64)
-    w, V = spla.eigsh(op, k=1, which="SA", tol=tol,
-                      maxiter=maxiter, ncv=min(ncv, nd - 1))
+    try:
+        w, V = spla.eigsh(op, k=1, which="SA", tol=tol,
+                          maxiter=maxiter, ncv=min(ncv, nd - 1))
+    except spla.ArpackNoConvergence as e:
+        # Clustered-at-zero spectra (healthy certificates) can exhaust the
+        # Lanczos budget; the partial Ritz pair is still usable because
+        # the returned bound charges the EXACT residual below — an
+        # unconverged vector just gives a looser, still-sound lamc-resid.
+        if e.eigenvectors is None or e.eigenvectors.shape[1] == 0:
+            raise
+        V = e.eigenvectors
     v = V[:, 0]
     # Project out span(Y) drift and take an exact honest Rayleigh pair.
     v = v - Q @ (Q.T @ v)
@@ -474,9 +553,18 @@ def staged_lambda_bound(meas: Measurements, Lam, apply_S, Y, dtype,
     """Reference-ordered certificate bound: sparse Cholesky-equivalent PSD
     accept on S_full first (fast_verification stage 1), ARPACK deflated
     eigensolve on failure — both feeding the same residual-honest 2x2
-    interaction bound as certificate_lambda_bound. Returns
-    (lam_lb, escape_vec_or_None, lamc_cons, eps); raises on ARPACK
-    breakdown (callers fall back to LOBPCG)."""
+    interaction bound as certificate_lambda_bound.
+
+    The accept shift is deflated by the translation compression factor
+    (S_full >= -eta I only proves S >= -eta (1 + sigma^2) I; see
+    certificate_sparse_full): eta_eff = min(eta_psd, tol/2 / (1 + 2
+    sigma_est^2)), the 2x safety covering power-iteration from-below
+    convergence. When eta_eff sinks below the factorization's own
+    floating-point resolution (~1e3 eps |S|), the accept cannot honestly
+    resolve the question and the ARPACK stage runs instead.
+
+    Returns (lam_lb, escape_vec_or_None, lamc_cons, eps); raises on
+    ARPACK breakdown (callers fall back to LOBPCG)."""
     Y_np = np.asarray(Y, np.float64)
     Qo, _ = np.linalg.qr(Y_np)
     eps = float(np.linalg.norm(np.asarray(apply_S(jnp.asarray(Qo, dtype)))))
@@ -486,8 +574,12 @@ def staged_lambda_bound(meas: Measurements, Lam, apply_S, Y, dtype,
             np.sqrt((lamc_c + eps) ** 2 + 4.0 * eps ** 2)))
 
     Sfull = certificate_sparse_full(meas, np.asarray(Lam))
-    if psd_accept_splu(Sfull, eta_psd) is True:
-        return bound(-eta_psd), None, -eta_psd, eps
+    sig2 = translation_compression(meas)
+    eta_eff = min(eta_psd, 0.5 * min_eig_tol / (1.0 + 2.0 * sig2))
+    fp_floor = 1e3 * np.finfo(np.float64).eps * abs(Sfull).max()
+    if eta_eff >= fp_floor and psd_accept_splu(Sfull, eta_eff) is True:
+        lamc_c = -eta_eff * (1.0 + 2.0 * sig2)
+        return bound(lamc_c), None, lamc_c, eps
 
     def apply_S_np(v):
         return np.asarray(apply_S(jnp.asarray(v[:, None], dtype))).ravel()

@@ -354,6 +354,23 @@ def lm_polish_3d(meas: Measurements, t0: np.ndarray, R0: np.ndarray,
                     converged=converged)
 
 
+def host_objective_2f(meas: Measurements, t: np.ndarray,
+                      R: np.ndarray) -> float:
+    """2*F in exact numpy f64 (chordal objective, trivial loss) — the
+    host-side oracle for processes where jax f64 is unavailable (a TPU
+    process evaluates _metrics in f32, whose ~1e-4-relative noise floor on
+    10k-pose graphs masks polish-level improvements). Matches
+    dpgo_tpu.objective.evaluate_f exactly; the single shared encoding for
+    host tools (run_baselines gap column, etc.)."""
+    t = np.asarray(t, np.float64)
+    R = np.asarray(R, np.float64)
+    Ri = R[meas.i]
+    rt = t[meas.i] + np.einsum("eab,eb->ea", Ri, meas.t) - t[meas.j]
+    rR = np.einsum("eab,ebc->eac", Ri, meas.R) - R[meas.j]
+    return float(np.sum(meas.tau * np.sum(rt * rt, -1))
+                 + np.sum(meas.kappa * np.sum(rR * rR, (-1, -2))))
+
+
 def lm_polish(meas: Measurements, t0: np.ndarray, R0: np.ndarray,
               **kw) -> LMResult:
     """Dimension dispatcher: exact-Newton theta chart for d=2, SE(3)

@@ -177,6 +177,9 @@ def test_lobpcg_chebyshev_precon(rng):
 def test_certify_with_chebyshev_precon():
     meas = read_g2o_file(dataset_path("CSAIL.g2o"))
     res = sesync(meas)
-    ok, lam, bound, fx = certify_solution(meas, res.R, precon="chebyshev")
+    # method="lobpcg" forces past the staged sparse fast path so the
+    # Chebyshev-preconditioned LOBPCG branch actually executes.
+    ok, lam, bound, fx = certify_solution(meas, res.R, precon="chebyshev",
+                                          method="lobpcg")
     assert ok
     assert bound < 1e-2

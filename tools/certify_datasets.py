@@ -85,9 +85,14 @@ def main():
                     # (rounding gap, e.g. tinyGrid3D): keep the SDP
                     # certificate, adopt the better feasible value, and
                     # report the honest duality-gap bound
-                    # f(xhat) - f* <= f(xhat) - sdp_val.
+                    # f(xhat) - f* <= (f(xhat) - sdp_val)
+                    #                + (nd/2) max(0, -lambda_min)
+                    # (the slack term charges the staircase certificate's
+                    # own tolerance, staircase.py finish()).
                     fxhat_2x = 2 * fx_d
-                    bound_2x = fxhat_2x - 2 * res.sdp_val
+                    bound_2x = (fxhat_2x - 2 * res.sdp_val
+                                + meas.num_poses * meas.d
+                                * max(0.0, -min(lam, 0.0)))
             except StopIteration:
                 pass
             except Exception as e:
