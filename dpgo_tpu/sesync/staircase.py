@@ -584,8 +584,20 @@ def staged_lambda_bound(meas: Measurements, Lam, apply_S, Y, dtype,
     def apply_S_np(v):
         return np.asarray(apply_S(jnp.asarray(v[:, None], dtype))).ravel()
 
+    # Bounded Lanczos budget: the default ARPACK maxiter (10 n) can burn
+    # minutes of matvecs on clustered spectra; 2000 iterations either
+    # converge or yield a partial Ritz pair whose exact-residual-backed
+    # bound is still sound (loose bounds fall through to LOBPCG via the
+    # caller's certification threshold).
     lamc, vec, resid = min_eig_arpack_deflated(
-        apply_S_np, Y_np, Y_np.shape[0], tol=min(1e-8, min_eig_tol))
+        apply_S_np, Y_np, Y_np.shape[0], tol=min(1e-8, min_eig_tol),
+        maxiter=2000, ncv=96)
+    if resid > max(abs(lamc), min_eig_tol):
+        # Unconverged partial pair: its residual-backed bound is sound but
+        # so loose it would read as a (junk) saddle direction downstream —
+        # defer to the LOBPCG fallback instead.
+        raise RuntimeError("arpack pair unconverged "
+                           f"(lamc={lamc:.3e}, resid={resid:.3e})")
     return bound(lamc - resid), jnp.asarray(vec, dtype), lamc - resid, eps
 
 

@@ -175,6 +175,33 @@ def test_ais2klinik_lm_reaches_certified_optimum():
     np.testing.assert_allclose(res.f2x, f_star, rtol=1e-7)
 
 
+def test_translation_compression_matches_dense():
+    """sigma^2 estimate == lambda_max(V^T L^+ L^+ V) computed densely
+    (the factor that deflates the PSD-accept shift; underestimating it
+    would re-open the compression false-certificate hole)."""
+    from dpgo_tpu.sesync.staircase import translation_compression
+    meas = read_g2o_file(dataset_path("CSAIL.g2o"))
+    n, d = meas.num_poses, meas.d
+    L = np.zeros((n, n))
+    np.add.at(L, (meas.i, meas.i), meas.tau)
+    np.add.at(L, (meas.j, meas.j), meas.tau)
+    np.add.at(L, (meas.i, meas.j), -meas.tau)
+    np.add.at(L, (meas.j, meas.i), -meas.tau)
+    V = np.zeros((n, n * d))
+    for e in range(len(meas.i)):
+        i, j = meas.i[e], meas.j[e]
+        V[i, d * i:d * i + d] += meas.tau[e] * meas.t[e]
+        V[j, d * i:d * i + d] -= meas.tau[e] * meas.t[e]
+    Lp = np.linalg.pinv(L)
+    A = Lp @ V
+    sig2_dense = np.linalg.norm(A, 2) ** 2
+    sig2 = translation_compression(meas, iters=100)
+    # Power iteration converges from below; within 5% after 100 iters and
+    # never above the dense value by more than roundoff.
+    assert sig2 <= sig2_dense * (1 + 1e-8)
+    assert sig2 >= 0.95 * sig2_dense
+
+
 def test_arpack_deflated_matches_dense():
     """min_eig_arpack_deflated == dense eigh on the deflated complement,
     for a certificate-shaped matrix (S Y ~ 0: span(Y) near-invariant, the
