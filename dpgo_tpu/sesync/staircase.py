@@ -589,16 +589,68 @@ def staged_lambda_bound(meas: Measurements, Lam, apply_S, Y, dtype,
     # converge or yield a partial Ritz pair whose exact-residual-backed
     # bound is still sound (loose bounds fall through to LOBPCG via the
     # caller's certification threshold).
-    lamc, vec, resid = min_eig_arpack_deflated(
-        apply_S_np, Y_np, Y_np.shape[0], tol=min(1e-8, min_eig_tol),
-        maxiter=2000, ncv=96)
-    if resid > max(abs(lamc), min_eig_tol):
-        # Unconverged partial pair: its residual-backed bound is sound but
-        # so loose it would read as a (junk) saddle direction downstream —
-        # defer to the LOBPCG fallback instead.
-        raise RuntimeError("arpack pair unconverged "
-                           f"(lamc={lamc:.3e}, resid={resid:.3e})")
+    nd = Y_np.shape[0]
+    try:
+        lamc, vec, resid = min_eig_arpack_deflated(
+            apply_S_np, Y_np, nd, tol=min(1e-8, min_eig_tol),
+            maxiter=2000, ncv=96)
+        unconverged = resid > max(abs(lamc), min_eig_tol)
+    except Exception:
+        unconverged = True
+    if unconverged:
+        # Stage 3: deflated LOBPCG with the exact sparse shift-invert
+        # Schur preconditioner — the corridor-conditioned spectra
+        # (ais2klinik-class) where unpreconditioned Lanczos cannot push
+        # the absolute residual below tol in any reasonable budget.
+        delta = max(min_eig_tol, 10 * np.finfo(np.float64).eps
+                    * abs(Sfull).max())
+        pre_np = schur_shift_invert_precon(Sfull, meas.num_poses, nd,
+                                           delta)
+
+        def pre(V):
+            return jax.pure_callback(
+                lambda X: pre_np(np.asarray(X)).astype(np.asarray(X).dtype),
+                jax.ShapeDtypeStruct(V.shape, V.dtype), V,
+                vmap_method="sequential")
+
+        lamc_j, vec_j, resid_j = min_eig_lobpcg(
+            apply_S, nd, jax.random.PRNGKey(2), dtype,
+            resid_tol=min_eig_tol, max_iters=2000, deflate=Y_np,
+            precon=pre)
+        lamc, vec = float(lamc_j), np.asarray(vec_j)
+        resid = float(resid_j)
+        if resid > max(abs(lamc), min_eig_tol):
+            raise RuntimeError("certificate eigensolve unconverged "
+                               f"(lamc={lamc:.3e}, resid={resid:.3e})")
     return bound(lamc - resid), jnp.asarray(vec, dtype), lamc - resid, eps
+
+
+def schur_shift_invert_precon(Sfull, n: int, nd: int, delta: float):
+    """LOBPCG preconditioner T ~ (S + delta I)^-1 for the SIMPLIFIED
+    certificate, built from one sparse factorization of the translation-
+    explicit S_full + delta I: by the block-inverse identity, the
+    rotation-block of (S_full + delta I)^-1 is the inverse of the
+    delta-shifted generalized Schur complement, which is S + delta I up to
+    O(delta)-coupling terms. Cost: one splu of the sparse (n+nd) system +
+    two triangular solves per application — the TPU-forbidden sparse-
+    direct trick is fair game here (host-side certification tool), and it
+    is exactly what the corridor-conditioned spectra (ais2klinik) need:
+    eigenvalues >> delta are mapped near 1, the near-zero cluster caps at
+    1/delta. Honesty is unaffected — preconditioning only accelerates the
+    eigensolver; the certificate bound charges the exact residual."""
+    import scipy.sparse as sp
+    import scipy.sparse.linalg as spla
+    A = (Sfull + delta * sp.identity(Sfull.shape[0], format="csc")).tocsc()
+    lu = spla.splu(A)
+
+    def apply_np(V):
+        V = np.asarray(V, np.float64)
+        rhs = np.zeros((n + nd, V.shape[1]))
+        rhs[n:] = V
+        out = lu.solve(rhs)
+        return np.ascontiguousarray(out[n:])
+
+    return apply_np
 
 
 def certify_solution(meas: Measurements, R: np.ndarray,

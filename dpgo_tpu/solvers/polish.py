@@ -243,7 +243,12 @@ def polish_params(outer: int = 20, tcg: int = 500,
                      preconditioned_gradient_tolerance=0.0,
                      Delta_tolerance=0.0,
                      relative_decrease_tolerance=0.0,
-                     stepsize_tolerance=0.0)
+                     stepsize_tolerance=0.0,
+                     # The refinement-role f32 noise gate misfires here:
+                     # the node-block preconditioner excludes inter-node
+                     # coupling, so its model-decrease estimate is ~0 at
+                     # any bulk-converged state (see TNTParams).
+                     noise_floor_gate=False)
 
 
 def polish_global(edges: EdgeData, t: jnp.ndarray, R: jnp.ndarray,

@@ -62,6 +62,16 @@ class TNTParams:
     # the problem's VMEM panels were built; False forces the portable
     # XLA-op CG (A/B lever for bench.py's fused-engagement verification).
     fused: bool = True
+    # f32 noise-floor gate (see step_core): stop refining when the first
+    # CG step's PRECONDITIONED model-decrease estimate 1/2 g^T P g falls
+    # below objective-evaluation noise. Correct for the per-node MM
+    # refinement (its preconditioner spans the whole local space), but it
+    # MUST be off for the global polish: there the node-block
+    # preconditioner deliberately excludes the inter-node coupling, so
+    # 1/2 g^T P g is structurally near zero at a bulk-converged state and
+    # the gate misreads the polish's entire raison d'etre as noise
+    # (round-4 regression: city10000 polish silently no-opped in f32).
+    noise_floor_gate: bool = True
 
 
 class TNTModel(NamedTuple):
@@ -319,12 +329,14 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams,
         # Stop refining instead. Inactive in f64, where the floor
         # (~1e-14 |f|) is below anything the reference's own
         # relative_decrease_tolerance would accept.
-        dm_est = 0.5 * _ip(st.grad, st.pgrad)
-        noise_floor = 16.0 * jnp.finfo(dtype).eps * (1.0 + jnp.abs(st.fx))
         grad_small = ((st.gradnorm < params.gradient_tolerance)
                       | (st.pgradnorm
-                         < params.preconditioned_gradient_tolerance)
-                      | (dm_est < noise_floor))
+                         < params.preconditioned_gradient_tolerance))
+        if params.noise_floor_gate:
+            dm_est = 0.5 * _ip(st.grad, st.pgrad)
+            noise_floor = 16.0 * jnp.finfo(dtype).eps \
+                * (1.0 + jnp.abs(st.fx))
+            grad_small = grad_small | (dm_est < noise_floor)
 
         if model.fused_stpcg is not None:
             h, Hh, h_M_norm, inner_k = model.fused_stpcg(
