@@ -44,6 +44,13 @@ class SESyncProblem:
     tau: jnp.ndarray     # [m]
     Lred_inv: jnp.ndarray  # [n-1, n-1] inverse reduced translation Laplacian
     jac_inv: jnp.ndarray   # [n, d, d] block-Jacobi preconditioner blocks
+    # Host sparse-direct solve of the reduced translation Laplacian, used
+    # instead of the dense Lred_inv matmul above `dense_limit` poses
+    # (city10000/ais2klinik-class: the dense inverse costs O(n^3) ~ 15 min
+    # and GBs at n=15k, where one SuperLU factorization is seconds).
+    # Static: a plain callable, invoked through jax.pure_callback.
+    lred_host: object = dataclasses.field(
+        default=None, metadata=dict(static=True))
     # "simplified" (translation-eliminated, the default) or "sosync"
     # (rotation-only synchronization; Q = L_Grho) — the reference's
     # Formulation enum (SESync_types.h:29-46). The Explicit joint (t, R)
@@ -69,6 +76,16 @@ class SESyncProblem:
         out = out.at[self.ei].add(ci).at[self.ej].add(cj)
         return out.reshape(Y.shape)
 
+    def _lred_solve(self, u):
+        """[n-1, r] reduced-Laplacian solve: dense cached inverse, or the
+        host sparse factorization above dense_limit."""
+        if self.lred_host is not None:
+            return jax.pure_callback(
+                self.lred_host,
+                jax.ShapeDtypeStruct(u.shape, u.dtype), u,
+                vmap_method="sequential")
+        return jnp.einsum("pq,qr->pr", self.Lred_inv, u)
+
     def apply_Qtau(self, Y):
         """Translation-elimination term V~^T Om^1/2 Pi Om^1/2 V~ Y."""
         B = self._blocks(Y)
@@ -79,7 +96,7 @@ class SESyncProblem:
         u_full = jnp.zeros((self.n, w.shape[1]), Y.dtype)
         sw = st[:, None] * w
         u_full = u_full.at[self.ei].add(sw).at[self.ej].add(-sw)
-        v = jnp.einsum("pq,qr->pr", self.Lred_inv, u_full[1:])
+        v = self._lred_solve(u_full[1:])
         v_full = jnp.concatenate(
             [jnp.zeros((1, w.shape[1]), Y.dtype), v], axis=0)
         w2 = w - st[:, None] * (v_full[self.ei] - v_full[self.ej])
@@ -184,7 +201,7 @@ class SESyncProblem:
         b = jnp.zeros((self.n, self.d), R.dtype)
         tw = self.tau[:, None] * c
         b = b.at[self.ei].add(-tw).at[self.ej].add(tw)
-        t1 = jnp.einsum("pq,qa->pa", self.Lred_inv, b[1:])
+        t1 = self._lred_solve(b[1:])
         return jnp.concatenate([jnp.zeros((1, self.d), R.dtype), t1], axis=0)
 
 
@@ -271,15 +288,36 @@ def build_sesync_explicit(meas: Measurements,
 
 
 def build_sesync_problem(meas: Measurements, dtype=jnp.float64,
-                         formulation: str = "simplified") -> SESyncProblem:
+                         formulation: str = "simplified",
+                         dense_limit: int = 4096) -> SESyncProblem:
     P, d, m = meas.num_poses, meas.d, len(meas)
     tau, i, j = meas.tau, meas.i, meas.j
-    L = np.zeros((P, P))
-    np.add.at(L, (i, i), tau)
-    np.add.at(L, (j, j), tau)
-    np.add.at(L, (i, j), -tau)
-    np.add.at(L, (j, i), -tau)
-    Lred_inv = np.linalg.inv(L[1:, 1:])
+    lred_host = None
+    if P > dense_limit:
+        # Sparse-direct reduced-Laplacian solve (host, via pure_callback):
+        # the dense inverse is O(P^3) time and O(P^2) memory — ~15 min and
+        # 1.8 GB at ais2klinik's 15k poses, vs seconds for one SuperLU
+        # factorization of the (very sparse) graph Laplacian.
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+        Lsp = sp.coo_matrix(
+            (np.concatenate([tau, tau, -tau, -tau]),
+             (np.concatenate([i, j, i, j]), np.concatenate([i, j, j, i]))),
+            shape=(P, P)).tocsc()
+        lu = spla.splu(Lsp[1:, 1:].tocsc())
+
+        def lred_host(u):
+            u = np.asarray(u)
+            return lu.solve(np.asarray(u, np.float64)).astype(u.dtype)
+
+        Lred_inv = np.zeros((1, 1))
+    else:
+        L = np.zeros((P, P))
+        np.add.at(L, (i, i), tau)
+        np.add.at(L, (j, j), tau)
+        np.add.at(L, (i, j), -tau)
+        np.add.at(L, (j, i), -tau)
+        Lred_inv = np.linalg.inv(L[1:, 1:])
 
     jac = np.zeros((P, d, d))
     eye = np.eye(d)
@@ -296,5 +334,5 @@ def build_sesync_problem(meas: Measurements, dtype=jnp.float64,
         eR=cast(meas.R), et=cast(meas.t),
         kappa=cast(meas.kappa), tau=cast(meas.tau),
         Lred_inv=cast(Lred_inv), jac_inv=cast(jac_inv),
-        formulation=formulation,
+        formulation=formulation, lred_host=lred_host,
     )
