@@ -44,6 +44,11 @@ def main():
     ap.add_argument("--pre_polish_levels", default="",
                     help="extra contiguous-segment coarse levels for the "
                          "polish preconditioner (e.g. '64,256')")
+    ap.add_argument("--lm", type=lambda s: s.lower() != "false",
+                    default=True,
+                    help="host exact-Newton LM polish + direct staged "
+                         "certificate (the default recipe); 'false' falls "
+                         "back to the polish + staircase-warm-start route")
     args = ap.parse_args()
 
     import jax.numpy as jnp
@@ -53,6 +58,30 @@ def main():
     meas = read_g2o_file(args.dataset)
     data = np.load(args.npz)
     t, R = data["t"], data["R"]
+
+    if args.lm:
+        # Round-4 default recipe: host exact-Newton LM polish (reaches
+        # machine-precision stationarity regardless of conditioning,
+        # solvers/host_lm.py) + the staged direct certificate — faster
+        # and more reliable than the polish + staircase-warm-start
+        # route below (kept under --lm false).
+        from dpgo_tpu.solvers.host_lm import lm_polish
+        from dpgo_tpu.objective import EdgeData, evaluate_f
+        edges = EdgeData.from_measurements(meas, dtype=jnp.float64)
+        raw_2f = 2 * float(evaluate_f(edges, jnp.asarray(t, jnp.float64),
+                                      jnp.asarray(R, jnp.float64)))
+        lmres = lm_polish(meas, t, R)
+        ok, lam, bound, fx = certify_solution(
+            meas, lmres.R, min_eig_tol=args.min_eig_tol, dtype=jnp.float64)
+        print(json.dumps({
+            "certified": bool(ok), "lambda_min": float(lam),
+            "suboptimality_bound_2x": 2 * float(bound),
+            "fxhat_2x": 2 * float(fx),
+            "raw_estimate_2f": raw_2f,
+            "raw_rel_gap": raw_2f / (2 * fx) - 1.0,
+            "polish": "host-lm",
+        }))
+        return
 
     if args.pre_polish > 0:
         # Global coupled trust-region polish (solvers/polish.py) in f64
