@@ -187,3 +187,48 @@ def test_anderson_scheme_monotone_and_converges():
     fh = np.asarray(fh)
     assert np.all(np.diff(fh) <= 1e-9 * np.abs(fh[:-1]))  # monotone
     assert fh[-1] / fc - 1.0 < 1e-3
+
+
+def test_noise_floor_gate_scoping():
+    """The f32 noise-floor gate must be a TNTParams switch: with a
+    preconditioner that is blind to the objective's remaining error (the
+    global polish's node-block preconditioner at a bulk-converged state),
+    gate=True exits before the first iteration while gate=False proceeds
+    and minimizes. Regression test for the round-3 polish no-op (city10000
+    polish silently returned its input; TNTHistory count=0)."""
+    import dataclasses
+
+    from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt_generic
+
+    # Quadratic f(x) = 1/2 x^T A x with a stiff/soft split; the "blind"
+    # preconditioner underweights the soft coordinate so severely that
+    # 1/2 g^T P g sits below the f32 noise floor at a point whose error is
+    # purely soft-direction — yet CG can still (slowly) move it.
+    A = jnp.asarray(np.diag([1.0, 1e-6]), jnp.float32)
+
+    def blind_precon(x, v):
+        return v * jnp.asarray([1.0, 1e-8], jnp.float32)
+
+    model = TNTModel(
+        objective=lambda x: 0.5 * x @ (A @ x),
+        grad_and_nabla=lambda x: (A @ x, A @ x),
+        hess_vp=lambda x, nabla, v: A @ v,
+        precondition=blind_precon,
+        retract=lambda x, v: x + v,
+    )
+    x0 = jnp.asarray([0.0, 300.0], jnp.float32)  # soft-direction error only
+    base = TNTParams(max_iterations=8, max_iterations_accepted=8,
+                     gradient_tolerance=0.0,
+                     preconditioned_gradient_tolerance=0.0,
+                     relative_decrease_tolerance=0.0,
+                     stepsize_tolerance=0.0, Delta_tolerance=0.0,
+                     Delta0=1e4)
+    x_on, f_on, _, _, h_on = tnt_generic(
+        model, x0, dataclasses.replace(base, noise_floor_gate=True),
+        record=True)
+    x_off, f_off, _, _, h_off = tnt_generic(
+        model, x0, dataclasses.replace(base, noise_floor_gate=False),
+        record=True)
+    assert int(h_on.count) == 0          # gate trips: no iterations run
+    assert int(h_off.count) > 0          # gate off: TNT actually works
+    assert float(f_off) < 0.5 * float(model.objective(x0))
