@@ -72,21 +72,28 @@ def main():
         np.asarray(stw.fobj)
         stw, _, _ = solver.run_steps_history(st, k0, n_hist)
         np.asarray(stw.fobj)
-        # Pure throughput: fresh input buffers (the tunnel memoizes
-        # executions on identical buffers).
-        st = solver.initialize()
-        t0 = time.perf_counter()
-        st, _ = solver.run_steps(st, k0, n_tp)
-        np.asarray(st.fobj)
-        dt = time.perf_counter() - t0
+        # Pure throughput, best of 3: the axon tunnel adds run-to-run
+        # dispatch jitter of ~+-8%, which would otherwise dominate
+        # preset-to-preset comparisons. Fresh input buffers each trial
+        # (the tunnel memoizes executions on identical buffers).
+        dt = float("inf")
+        for _ in range(3):
+            st = solver.initialize()
+            t0 = time.perf_counter()
+            st, _ = solver.run_steps(st, k0, n_tp)
+            np.asarray(st.fobj)
+            dt = min(dt, time.perf_counter() - t0)
         ips = n_tp / dt
         f1, g1 = solver._metrics(st)
-        # Time-to-target: device-side recorded trajectory, prorated clock.
-        st = solver.initialize()
-        t0 = time.perf_counter()
-        st, _, (fhist, _) = solver.run_steps_history(st, k0, n_hist)
-        fhist = np.asarray(fhist)
-        dt_hist = time.perf_counter() - t0
+        # Time-to-target: device-side recorded trajectory, prorated clock
+        # (best of 3 on the wall time; the trajectory is deterministic).
+        dt_hist = float("inf")
+        for _ in range(3):
+            st = solver.initialize()
+            t0 = time.perf_counter()
+            st, _, (fhist, _) = solver.run_steps_history(st, k0, n_hist)
+            fhist = np.asarray(fhist)
+            dt_hist = min(dt_hist, time.perf_counter() - t0)
         secs_to = iters_to = None
         hit = np.nonzero(fhist <= target)[0]
         if hit.size:
