@@ -196,9 +196,14 @@ def main(argv=None):
         elapsed += time.perf_counter() - t_start
         st = solver.initialize(res.t, res.R)
         f, g = solver._metrics(st)
+        # On TPU the solver metrics evaluate in f32, whose ~1e-4-relative
+        # noise floor can mask the f64 polish improvement entirely; report
+        # the exact host f64 objective of the polished estimate alongside.
+        from dpgo_tpu.solvers.host_lm import host_objective_2f
+        f64_2f = host_objective_2f(meas, res.t, res.R)
         rows.append((k, elapsed, float(f), float(g)))
         print(f"lm_polish({res.iters} it): {float(f):.20g} "
-              f"{float(g):.20g}")
+              f"{float(g):.20g} (exact f64 2f = {f64_2f:.12f})")
 
     print("---------------------------------------")
     print(f"final objective: {rows[-1][2]}")

@@ -52,15 +52,13 @@ class HaloSchedule:
 
     bnd[o, s] is the local pose index of owner o's s-th boundary pose (a pose
     some other node reads); halo_slot[a, h] maps node a's h-th halo entry to
-    the owner's boundary-buffer slot. ring_rounds is the max ring distance
-    (in devices) from a reader to an owner — the number of ppermute rounds
-    the "ring" strategy needs.
+    the owner's boundary-buffer slot. (The ring strategy's round count is
+    device-count-dependent and computed per-solver by `_ring_rounds`.)
     """
 
     bnd: np.ndarray        # [N, B] int32
     halo_slot: np.ndarray  # [N, n1_max] int32
     B: int
-    ring_rounds: dict      # num_devices -> rounds needed
 
 
 def build_halo_schedule(mg: MultiGraph) -> HaloSchedule:
@@ -80,7 +78,7 @@ def build_halo_schedule(mg: MultiGraph) -> HaloSchedule:
             bnd[o, :len(lst)] = lst
             slot_of[o, lst] = np.arange(len(lst), dtype=np.int32)
     halo_slot = slot_of[mg.halo_owner, mg.halo_lpose].astype(np.int32)
-    return HaloSchedule(bnd=bnd, halo_slot=halo_slot, B=B, ring_rounds={})
+    return HaloSchedule(bnd=bnd, halo_slot=halo_slot, B=B)
 
 
 def _ring_rounds(mg: MultiGraph, num_devices: int) -> int:

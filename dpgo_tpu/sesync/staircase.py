@@ -43,7 +43,13 @@ class SESyncOpts:
 
 @dataclasses.dataclass
 class SESyncResult:
-    status: str            # "GlobalOpt" | "MaxRank"
+    # "GlobalOpt": certificate PSD — xhat is a global optimum.
+    # "MaxRank": staircase exhausted rmax without a PSD certificate.
+    # "EigImprecision": the certificate eigensolve was too marginal to
+    #   trust at this tolerance (reference SESync.cpp:380-388); callers
+    #   should polish the estimate (LM / coupled Newton) and re-certify
+    #   directly (tools/certify_estimate.py) instead of burning ranks.
+    status: str            # "GlobalOpt" | "MaxRank" | "EigImprecision"
     R: np.ndarray          # [n, d, d]
     t: np.ndarray          # [n, d]
     fxhat: float           # objective of the rounded solution
@@ -400,16 +406,19 @@ def certificate_sparse_full(meas: Measurements, Lam_blocks: np.ndarray):
     return (M - Lam).tocsc()
 
 
-def translation_compression(meas: Measurements, iters: int = 30,
-                            seed: int = 0) -> float:
+def translation_compression(meas: Measurements, iters: int = 200,
+                            seed: int = 0, rtol: float = 1e-3) -> float:
     """Estimate sigma^2 = |L_tau^+ V|_2^2 — the factor by which negative
     curvature of the simplified certificate S is compressed in the
     translation-explicit S_full (see certificate_sparse_full). Power
     iteration on V^T L^-1 L^-1 V with a grounded (pose-0-removed) sparse
     factorization of the tau-Laplacian; the grounded solve's norm upper-
     bounds the min-norm response, so the estimate errs conservative in
-    that respect (power iteration itself converges from below — callers
-    apply a safety factor)."""
+    that respect. Power iteration itself converges from below, so the
+    iteration runs to a relative-change tolerance `rtol` (not a fixed
+    count) from TWO independent random starts and returns the max — the
+    callers' 2x safety factor then only has to cover the residual
+    convergence slack, not a badly unconverged estimate."""
     import scipy.sparse as sp
     import scipy.sparse.linalg as spla
     n, d = meas.num_poses, meas.d
@@ -437,23 +446,29 @@ def translation_compression(meas: Measurements, iters: int = 30,
         np.add.at(out, i, s[:, None] * meas.t)
         return out.ravel()
 
-    rng = np.random.default_rng(seed)
-    w = rng.standard_normal(n * d)
-    w /= np.linalg.norm(w)
-    sig2 = 0.0
-    for _ in range(iters):
-        u = V_apply(w)                                   # V w
-        z = np.concatenate([[0.0], lu.solve(u[1:])])     # L^+ (V w)
-        z -= z.mean()
-        z2 = np.concatenate([[0.0], lu.solve(z[1:])])    # L^+ L^+ (V w)
-        z2 -= z2.mean()
-        v = Vt_apply(z2)                                 # V^T L^-2 V w
-        nrm = np.linalg.norm(v)
-        if nrm == 0:
-            break
-        sig2 = nrm  # Rayleigh estimate of lambda_max(V^T L^-2 V) = sigma^2
-        w = v / nrm
-    return float(sig2)
+    def power_iter(start_seed):
+        rng = np.random.default_rng(start_seed)
+        w = rng.standard_normal(n * d)
+        w /= np.linalg.norm(w)
+        sig2 = 0.0
+        for _ in range(iters):
+            u = V_apply(w)                                   # V w
+            z = np.concatenate([[0.0], lu.solve(u[1:])])     # L^+ (V w)
+            z -= z.mean()
+            z2 = np.concatenate([[0.0], lu.solve(z[1:])])    # L^+ L^+ (V w)
+            z2 -= z2.mean()
+            v = Vt_apply(z2)                                 # V^T L^-2 V w
+            nrm = np.linalg.norm(v)
+            if nrm == 0:
+                break
+            prev = sig2
+            sig2 = nrm  # Rayleigh est. of lambda_max(V^T L^-2 V) = sigma^2
+            w = v / nrm
+            if prev > 0 and abs(sig2 - prev) <= rtol * sig2:
+                break
+        return float(sig2)
+
+    return max(power_iter(seed), power_iter(seed + 104729))
 
 
 def psd_accept_splu(S, eta: float):

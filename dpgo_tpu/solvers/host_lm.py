@@ -224,7 +224,11 @@ def _hat(w):
 def _expmap(w):
     """[n, 3] rotation vectors -> [n, 3, 3] rotations (Rodrigues)."""
     th = np.linalg.norm(w, axis=1, keepdims=True)
-    th = np.maximum(th, 1e-300)
+    # Clamp well above sqrt(smallest normal): below ~1e-150 the th**2 in b
+    # would underflow to 0 and produce 0/0 = NaN; at the clamp, sin(th)/th
+    # = 1 and (1-cos)/th^2 = 0.5 to machine precision, so R = I exactly as
+    # the zero-rotation limit requires.
+    th = np.maximum(th, 1e-150)
     a = (np.sin(th) / th)[:, :, None]
     b = ((1 - np.cos(th.ravel())) / th.ravel() ** 2)[:, None, None]
     W = _hat(w)

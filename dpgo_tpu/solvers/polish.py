@@ -86,9 +86,14 @@ def global_tnt_model(edges: EdgeData, loss: Loss = Loss.TRIVIAL,
     def retract(x, h):
         return (x[0] + h[0], project_sod(x[1] + h[1]))
 
+    # precon_spans_full_space=False: every polish preconditioner (node-
+    # block base, optionally + rigid coarse levels) deliberately excludes
+    # part of the inter-node coupling, so the f32 noise-floor gate must
+    # stay off regardless of what TNTParams the caller passes (the
+    # round-4 silent-no-op regression, now structural).
     return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
                     hess_vp=hess_vp, precondition=precondition,
-                    retract=retract)
+                    retract=retract, precon_spans_full_space=False)
 
 
 def _skew_basis(d: int) -> jnp.ndarray:

@@ -64,14 +64,16 @@ class TNTParams:
     fused: bool = True
     # f32 noise-floor gate (see step_core): stop refining when the first
     # CG step's PRECONDITIONED model-decrease estimate 1/2 g^T P g falls
-    # below objective-evaluation noise. Correct for the per-node MM
-    # refinement (its preconditioner spans the whole local space), but it
-    # MUST be off for the global polish: there the node-block
-    # preconditioner deliberately excludes the inter-node coupling, so
-    # 1/2 g^T P g is structurally near zero at a bulk-converged state and
-    # the gate misreads the polish's entire raison d'etre as noise
-    # (round-4 regression: city10000 polish silently no-opped in f32).
-    noise_floor_gate: bool = True
+    # below objective-evaluation noise. The estimate is only meaningful
+    # when the preconditioner spans the full tangent space: a node-block
+    # preconditioner that excludes inter-node coupling makes 1/2 g^T P g
+    # structurally ~0 at any bulk-converged state, and the gate would
+    # misread the remaining coupled decrease as noise (the round-4
+    # city10000 polish regression). The default None therefore DERIVES
+    # the gate from TNTModel.precon_spans_full_space — models whose
+    # preconditioner deliberately drops coupling declare it False and the
+    # gate disables itself structurally. Explicit True/False overrides.
+    noise_floor_gate: bool | None = None
 
 
 class TNTModel(NamedTuple):
@@ -87,6 +89,11 @@ class TNTModel(NamedTuple):
         subproblem solver replacing the generic stpcg loop (the Pallas
         fused CG, ops/pallas_stpcg.py). Must implement identical
         semantics; the portable stpcg below remains the oracle.
+    precon_spans_full_space: declare False when `precondition` omits part
+        of the tangent space (e.g. the polish's node-block preconditioner
+        excludes inter-node coupling) — it disables the f32 noise-floor
+        gate, whose model-decrease estimate 1/2 g^T P g is only a valid
+        noise proxy for a full-span preconditioner (see TNTParams).
     """
 
     objective: Callable
@@ -95,6 +102,7 @@ class TNTModel(NamedTuple):
     precondition: Callable
     retract: Callable
     fused_stpcg: Callable | None = None
+    precon_spans_full_space: bool = True
 
 
 class TNTHistory(NamedTuple):
@@ -332,7 +340,10 @@ def tnt_generic(model: TNTModel, x0, params: TNTParams,
         grad_small = ((st.gradnorm < params.gradient_tolerance)
                       | (st.pgradnorm
                          < params.preconditioned_gradient_tolerance))
-        if params.noise_floor_gate:
+        gate_on = (model.precon_spans_full_space
+                   if params.noise_floor_gate is None
+                   else params.noise_floor_gate)
+        if gate_on:
             dm_est = 0.5 * _ip(st.grad, st.pgrad)
             noise_floor = 16.0 * jnp.finfo(dtype).eps \
                 * (1.0 + jnp.abs(st.fx))

@@ -71,6 +71,17 @@ def test_viz_writes_files(rng, tmp_path):
     assert os.path.getsize(p2) > 0
 
 
+def test_viz_iterate_animation(rng, tmp_path):
+    """SESyncVisualizer iterate-playback parity: a 3-frame GIF renders."""
+    from dpgo_tpu.viz import animate_iterates
+    meas, t_true, _ = random_pose_graph(rng, num_poses=20, d=2)
+    frames = [t_true + 0.3 * rng.normal(size=t_true.shape),
+              t_true + 0.1 * rng.normal(size=t_true.shape), t_true]
+    p = str(tmp_path / "iterates.gif")
+    animate_iterates(frames, p, edges=(meas.i, meas.j), fps=2)
+    assert os.path.getsize(p) > 0
+
+
 def test_pallas_so3_interpret(rng):
     from dpgo_tpu.ops.so3 import polar_so3
     from dpgo_tpu.ops.pallas_so3 import polar_so3_pallas

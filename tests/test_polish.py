@@ -232,3 +232,16 @@ def test_noise_floor_gate_scoping():
     assert int(h_on.count) == 0          # gate trips: no iterations run
     assert int(h_off.count) > 0          # gate off: TNT actually works
     assert float(f_off) < 0.5 * float(model.objective(x0))
+
+    # Round-5 de-footgun: with the default noise_floor_gate=None the gate
+    # is DERIVED from the model's declared preconditioner span, so a
+    # partial-span model disables it structurally even when the caller
+    # forgets to pass noise_floor_gate=False (the round-4 footgun).
+    model_partial = model._replace(precon_spans_full_space=False)
+    _, f_auto, _, _, h_auto = tnt_generic(model_partial, x0, base,
+                                          record=True)
+    assert int(h_auto.count) > 0
+    assert float(f_auto) < 0.5 * float(model.objective(x0))
+    # And a full-span model (the default declaration) keeps the gate on.
+    _, _, _, _, h_full = tnt_generic(model, x0, base, record=True)
+    assert int(h_full.count) == 0
