@@ -212,9 +212,11 @@ def main():
             extra["city10000_error"] = repr(e)[:200]
 
     # ------------------------- extras: rim_synth 10,240-pose d=3 row
-    # The d=3 chip-filling regime: per-node dense panels are 1920^2 (too
-    # large for the fused kernel's VMEM gate, so the XLA CG path runs and
-    # the FLOPs count is complete).
+    # The d=3 chip-filling regime: 640-pose blocks engage the fused Pallas
+    # STPCG since the round-5 VMEM-gate extension (panels streamed under a
+    # raised scoped-VMEM budget). FLOPs are counted on an XLA-only twin
+    # (fused=False, identical math) because XLA's cost analysis cannot see
+    # inside Pallas custom calls.
     rim = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "artifacts", "rim_synth.g2o")
     if os.path.exists(rim) and platform == "tpu":
@@ -226,16 +228,23 @@ def main():
             st_r = s_r.initialize()
             stw, _ = s_r.run_steps(st_r, k0, n_r)
             np.asarray(stw.fobj)
-            st_r = s_r.initialize()
-            t0 = time.perf_counter()
-            st_r, _ = s_r.run_steps(st_r, k0, n_r)
-            np.asarray(st_r.fobj)
-            ips_r = n_r / (time.perf_counter() - t0)
-            fs_r = s_r.step_flops(s_r.initialize(), k0, n_r)
+            dt_r = float("inf")
+            for _ in range(2):
+                st_r = s_r.initialize()
+                t0 = time.perf_counter()
+                st_r, _ = s_r.run_steps(st_r, k0, n_r)
+                np.asarray(st_r.fobj)
+                dt_r = min(dt_r, time.perf_counter() - t0)
+            ips_r = n_r / dt_r
+            s_rx = DPGOSolver(meas_r, num_nodes=16,
+                              opts=MMOptions(accelerated=True,
+                                             tnt=TNTParams(fused=False)),
+                              dtype=dtype)
+            fs_r = s_rx.step_flops(s_rx.initialize(), k0, n_r)
             extra["rim_synth_10240_16node"] = {
                 "iters_per_sec": round(ips_r, 1),
                 "fused_stpcg_engaged": s_r.fused_stpcg_engaged(),
-                "flops_per_step": fs_r,
+                "flops_per_step_xla_twin": fs_r,
                 "achieved_gflops": (fs_r * ips_r / 1e9 if fs_r else None),
                 "mfu_vs_bf16_peak": (fs_r * ips_r / V5E_PEAK_FLOPS
                                      if fs_r else None),

@@ -18,9 +18,11 @@ ALL CG iterations and runs the loop on-core:
   convergence exits mirror solvers/tnt.py stpcg exactly (which remains the
   portable reference implementation this kernel is tested against).
 
-VMEM budget: 2 * 9 * n_pad^2 * 4 bytes for the two operator panels — the
-kernel is gated to blocks with n_pad <= MAX_NPAD (~400 poses/node); larger
-blocks use the XLA path.
+VMEM budget: 2 * 9 * n_pad^2 * 4 bytes for the two operator panels, ~3x
+that in scoped headroom — the kernel is gated to blocks whose total scoped
+estimate fits in 100 MB (fits_vmem: ~640 poses/node for d=3, ~896 for
+d=2); larger blocks use the XLA path (and past dense_limit, the segment
+path).
 
 Reference analog: the STPCG inner-inner loop, Optimization/LinearAlgebra/
 IterativeSolvers.h:166-450, with the RegularizedCholesky preconditioner
@@ -44,13 +46,16 @@ def vmem_bytes(n_pad: int, d: int = 3) -> int:
     return 2 * d * d * n_pad * n_pad * 4
 
 
-def fits_vmem(n: int, d: int = 3, budget: int = 14 * 2 ** 20) -> bool:
-    # Budget covers the two resident panels; Mosaic's raised scoped-VMEM
-    # limit (stpcg_fused) additionally absorbs the unrolled matvec's panel
-    # loads — a 20.3 MB total compiles and runs on v5e (measured), so a
-    # 14 MB panel budget keeps total scoped use near ~45 MB worst case.
+def fits_vmem(n: int, d: int = 3, budget: int = 100 * 2 ** 20) -> bool:
+    # Gate on the TOTAL scoped-VMEM estimate Mosaic is given (stpcg_fused's
+    # compiler_params): the two resident panels plus ~2x panel headroom for
+    # the unrolled matvec's panel loads, plus 8 MB for vectors/scratch.
+    # v5e has 128 MB of physical VMEM; a 96.5 MB scoped budget (n_pad=640,
+    # d=3 — the rim_synth 640-pose blocks) compiles and runs measured 1.66x
+    # faster than the XLA-op CG path, so the gate admits everything whose
+    # estimate stays within 100 MB: n_pad <= 640 for d=3, <= 896 for d=2.
     n_pad = -(-n // LANE) * LANE
-    return vmem_bytes(n_pad, d) <= budget
+    return vmem_bytes(n_pad, d) * 3 + 8 * 2 ** 20 <= budget
 
 
 def _mul_d(x, y, d):
