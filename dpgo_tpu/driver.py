@@ -45,7 +45,8 @@ class DPGOSolver:
     def __init__(self, meas: Measurements, num_nodes: int,
                  opts: MMOptions | None = None,
                  loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
-                 dtype=jnp.float64, dense_limit: int = 4096):
+                 dtype=jnp.float64, dense_limit: int = 4096,
+                 segment_limit: int = 2048, seg_size: int = 128):
         self.meas = meas
         self.num_nodes = num_nodes
         self.opts = opts or MMOptions()
@@ -56,10 +57,13 @@ class DPGOSolver:
             precon_cond = 1e6 if dtype == jnp.float64 else 1e5
         # dense_limit: per-node blocks with n0*d above it use the edge-wise
         # (matrix-free) operator path instead of materialized dense MXU
-        # operators — the memory fallback for very large blocks.
+        # operators. segment_limit: blocks with more poses than it use the
+        # SEGMENT path (segment-Schwarz CG translation solves + coupled
+        # segment-preconditioned TNT) — no [n0, n0] arrays at any point.
         self.probs = build_node_problems(
             self.mg, xi=self.opts.regularizer, loss=loss, loss_reg=loss_reg,
-            precon_cond=precon_cond, dense_limit=dense_limit, dtype=dtype)
+            precon_cond=precon_cond, dense_limit=dense_limit,
+            segment_limit=segment_limit, seg_size=seg_size, dtype=dtype)
         self.edges = EdgeData.from_measurements(
             meas, node_of=self.part.node_of, dtype=dtype)
         self.loss = loss
@@ -337,6 +341,8 @@ class DPGOSolver:
                 if p.dense:
                     Rp = p.from_tall(jnp.matmul(p.precon_dense,
                                                 p.to_tall(Rn_a)))
+                elif p.seg:
+                    Rp = p.precondition_R_seg(Rn_a)
                 else:
                     Rp = jnp.einsum("pab,pbc->pac", Rn_a, p.precon_inv)
                 tp = p.solve_mG00(tn_a, t_anchor=jnp.zeros_like(tn_a))

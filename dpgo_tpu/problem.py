@@ -152,6 +152,24 @@ class NodeProblem:
     e_kap: jnp.ndarray
     e_tau: jnp.ndarray
 
+    # Segment path (blocks past the dense/eigen-split feasibility limit,
+    # ~2k+ poses per node — the regime the reference hands to CHOLMOD's
+    # any-size factorization, DPGOProblem.cpp:93-124). No [n0, n0] arrays
+    # are ever materialized: translation solves run preconditioned CG on
+    # the edge-wise mG00 matvec with a TWO-LEVEL additive-Schwarz
+    # preconditioner (dense factors of mG00's contiguous-segment diagonal
+    # blocks + a segment-aggregated Galerkin coarse inverse), and the TNT
+    # refinement switches to the coupled (t, R) surrogate model
+    # (mm._make_tnt_model_coupled) preconditioned by segment-dense
+    # regularized mG11 inverses — all batched MXU matmuls.
+    seg: bool = dataclasses.field(metadata=dict(static=True))
+    seg_size: int = dataclasses.field(metadata=dict(static=True))
+    seg_cg_iters: int = dataclasses.field(metadata=dict(static=True))
+    seg_cg_tol: float = dataclasses.field(metadata=dict(static=True))
+    seg_t_inv: jnp.ndarray   # [n_seg, S, S] dense mG00 segment inverses
+    seg_c_inv: jnp.ndarray   # [n_seg, n_seg] coarse Galerkin inverse
+    seg_R_inv: jnp.ndarray   # [n_seg, S d, S d] regularized mG11 inverses
+
     # ---------------------------------------------------------------- helpers
 
     def _n0(self):
@@ -541,6 +559,90 @@ class NodeProblem:
             "pab,pb->pa", dR, self.nvec) - Tv[:, None] * Df_t
         return t_new, R_new
 
+    # ------------------------------------------------- segment translation
+    def mG00_matvec(self, v):
+        """Edge-wise mG00 apply for the segment path: the intra tau-
+        Laplacian + the inter diagonal (2 w tau at e_self, current
+        scale_w — dynamic rescale needs no Woodbury here) + xi on real
+        poses / identity on padded ones (matching the dense build's
+        mG00_full exactly)."""
+        dv = self.a_tau[:, None] * (v[self.a_i] - v[self.a_j])
+        out = jnp.zeros_like(v).at[self.a_i].add(dv).at[self.a_j].add(-dv)
+        wdiag = 2.0 * self.scale_w * self.e_tau
+        out = out.at[self.e_self].add(wdiag[:, None] * v[self.e_self])
+        return out + jnp.where(self.pose_mask[:, None], self.xi * v, v)
+
+    def _deflate_null(self, v):
+        c = jnp.einsum("pk,pa->ka", self.null_V, v)
+        return v - jnp.einsum("pk,ka->pa", self.null_V, c)
+
+    def _precondition_t_seg(self, r):
+        """Two-level additive-Schwarz preconditioner for mG00: dense
+        segment-diagonal inverses + the segment-aggregated coarse inverse
+        (Galerkin P^T mG00 P over piecewise-constant indicators), null
+        components deflated so CG stays in the range space (the segment
+        analog of the eigen-split inverse's clamped spectrum)."""
+        S = self.seg_size
+        n_seg = self.seg_t_inv.shape[0]
+        n0 = self._n0()
+        rb = jnp.pad(r, ((0, n_seg * S - n0), (0, 0))).reshape(n_seg, S, -1)
+        z = jnp.einsum("spq,sqa->spa", self.seg_t_inv, rb)
+        c = jnp.einsum("st,ta->sa", self.seg_c_inv, rb.sum(axis=1))
+        z = (z + c[:, None, :]).reshape(n_seg * S, -1)[:n0]
+        return self._deflate_null(z)
+
+    def _solve_mG00_seg(self, rhs):
+        """Preconditioned CG on the edge-wise mG00 (all d RHS columns run
+        as independent CGs sharing iterations — per-column scalars). The
+        null response is dropped exactly as in the dense split inverse
+        (the caller adds it from t_anchor, see solve_mG00)."""
+        r0 = self._deflate_null(rhs)
+        z0 = self._precondition_t_seg(r0)
+        x0 = jnp.zeros_like(rhs)
+        rz0 = jnp.sum(r0 * z0, axis=0)
+        rr0 = jnp.sum(r0 * r0, axis=0)
+        tol2 = self.seg_cg_tol * self.seg_cg_tol
+
+        def cond(st):
+            x, r, z, p, rz, k = st
+            rr = jnp.sum(r * r, axis=0)
+            return (k < self.seg_cg_iters) & jnp.any(rr > tol2 * rr0)
+
+        def body(st):
+            x, r, z, p, rz, k = st
+            Ap = self._deflate_null(self.mG00_matvec(p))
+            pAp = jnp.sum(p * Ap, axis=0)
+            alpha = jnp.where(pAp > 0, rz / jnp.where(pAp > 0, pAp, 1.0),
+                              0.0)
+            x = x + alpha[None, :] * p
+            r = r - alpha[None, :] * Ap
+            z = self._precondition_t_seg(r)
+            rz_new = jnp.sum(r * z, axis=0)
+            beta = jnp.where(rz > 0, rz_new / jnp.where(rz > 0, rz, 1.0),
+                             0.0)
+            p = z + beta[None, :] * p
+            return x, r, z, p, rz_new, k + 1
+
+        out = jax.lax.while_loop(
+            cond, body, (x0, r0, z0, z0, rz0,
+                         jnp.zeros((), jnp.int32)))
+        return out[0]
+
+    def precondition_R_seg(self, V):
+        """Segment-dense regularized mG11 inverse applied to an R-storage
+        tangent [n0, d, d] — the segment analog of precondition_tall's
+        dense regularized inverse (reference RegularizedCholesky role at
+        CHOLMOD-class block sizes)."""
+        S, d = self.seg_size, self.d
+        n_seg = self.seg_R_inv.shape[0]
+        n0 = self._n0()
+        Vt = self.to_tall(V)                       # [n0 d, d]
+        Vt = jnp.pad(Vt, ((0, (n_seg * S - n0) * d), (0, 0)))
+        Vb = Vt.reshape(n_seg, S * d, d)
+        Pb = jnp.einsum("spq,sqa->spa", self.seg_R_inv, Vb)
+        Pt = Pb.reshape(n_seg * S * d, d)[:n0 * d]
+        return self.from_tall(Pt)
+
     def solve_mG00(self, rhs, t_anchor=None):
         """Apply the inverse of the translation block to rhs [n0, d]:
         split inverse of the base system, plus (dynamic rescale) the Woodbury
@@ -556,14 +658,21 @@ class NodeProblem:
         components), so the null response equals the gauge of the anchor
         state: pass `t_anchor` (the state whose surrogate produced g; zeros
         for a pure-coupling rhs like the Hessian's) to compute it without
-        the 1/xi amplification. t_anchor=None keeps the legacy division."""
-        out = jnp.einsum("pq,qa->pa", self.Minv_red, rhs)
+        the 1/xi amplification. t_anchor=None keeps the legacy division.
+
+        Segment path: the dense split inverse is replaced by segment-
+        Schwarz-preconditioned CG (_solve_mG00_seg), whose matvec carries
+        the current scale_w — dynamic rescale needs no Woodbury there."""
+        if self.seg:
+            out = self._solve_mG00_seg(rhs)
+        else:
+            out = jnp.einsum("pq,qa->pa", self.Minv_red, rhs)
         if t_anchor is None:
             c = jnp.einsum("pk,pa->ka", self.null_V, rhs) / self.xi
         else:
             c = -jnp.einsum("pk,pa->ka", self.null_V, t_anchor)
         out = out + jnp.einsum("pk,ka->pa", self.null_V, c)
-        if self.dynamic:
+        if self.dynamic and not self.seg:
             corr = jnp.einsum("kl,la->ka", self.wood_C, out[self.ipose])
             out = out - jnp.einsum("pk,ka->pa", self.SU, corr)
         return out
@@ -799,17 +908,19 @@ def with_weights(base: NodeProblem, w_bar: jnp.ndarray) -> NodeProblem:
     Tinv = 1.0 / diagT
     W = S - Tinv[:, None, None] * nvec[:, :, None] * nvec[:, None, :]
 
-    # ---- Woodbury core for the translation solve.
-    delta = jnp.zeros((n0,), dtype).at[base.e_self].add(
-        2.0 * base.e_tau * (w_bar - 1.0))
-    D = delta[base.ipose] * base.imask
-    UtSU = base.SU[base.ipose]  # [k, k]
-    k = D.shape[0]
-    A = jnp.eye(k, dtype=dtype) + UtSU * D[None, :]
-    wood_C = D[:, None] * jnp.linalg.inv(A)
-
-    repl = dict(dynamic=True, scale_w=w_bar, diagT_inv=Tinv, nvec=nvec, W=W,
-                wood_C=wood_C)
+    # ---- Woodbury core for the translation solve (dense/edge-wise paths
+    # only: the segment path's CG matvec reads scale_w directly, so its
+    # translation solves see the new weights with no factorization update).
+    repl = dict(dynamic=True, scale_w=w_bar, diagT_inv=Tinv, nvec=nvec, W=W)
+    if not base.seg:
+        delta = jnp.zeros((n0,), dtype).at[base.e_self].add(
+            2.0 * base.e_tau * (w_bar - 1.0))
+        D = delta[base.ipose] * base.imask
+        UtSU = base.SU[base.ipose]  # [k, k]
+        k = D.shape[0]
+        A = jnp.eye(k, dtype=dtype) + UtSU * D[None, :]
+        wood_C = D[:, None] * jnp.linalg.inv(A)
+        repl.update(wood_C=wood_C)
 
     # ---- dense operator deltas (relative to base's unit weights).
     if base.dense:
@@ -852,21 +963,138 @@ def with_weights(base: NodeProblem, w_bar: jnp.ndarray) -> NodeProblem:
 # ------------------------------------------------------------------ builders
 
 
+def _clamped_spd_inv(A: np.ndarray, rel_clip: float = 1e-9) -> np.ndarray:
+    """Batched SPD (pseudo-)inverse with the near-null spectrum clamped to
+    zero weight — the segment analog of the eigen-split inverse: modes the
+    block cannot see (segment constants, global gauge) are the coarse
+    level's / null deflation's job, and keeping their 1/xi-scale responses
+    would destroy the f32 cast of everything else."""
+    lam, V = np.linalg.eigh(A)
+    lmax = np.maximum(lam[..., -1:], 1e-30)
+    w = np.where(lam < rel_clip * lmax, 0.0, 1.0 / np.maximum(lam, 1e-300))
+    return np.einsum("...pk,...k,...qk->...pq", V, w, V)
+
+
+def _build_segment_factors(mg: MultiGraph, xi: float, S: int,
+                           reg: np.ndarray):
+    """Dense contiguous-segment factors for the segment path.
+
+    Returns (seg_t_inv [N, n_seg, S, S], seg_c_inv [N, n_seg, n_seg],
+    seg_R_inv [N, n_seg, S d, S d]):
+    - seg_t_inv: clamped inverses of mG00's segment-diagonal blocks (edges
+      crossing segments contribute only their diagonal entries);
+    - seg_c_inv: clamped inverse of the Galerkin coarse operator
+      P^T mG00 P over piecewise-constant segment indicators;
+    - seg_R_inv: plain inverses of mG11's segment-diagonal blocks (tall
+      Q-storage convention, matching the dense-path mG11_d layout) +
+      reg[a] I — the RegularizedCholesky-role preconditioner for the
+      coupled TNT model.
+    `reg` is the per-node lam_max / precon_cond regularizer."""
+    N, n0m, d = mg.num_nodes, mg.n0_max, mg.d
+    n_seg = -(-n0m // S)
+    n_pad = n_seg * S
+    pidx = np.arange(n_pad)
+    seg_of = (pidx // S).astype(np.int32)
+    loc_of = (pidx % S).astype(np.int32)
+    ar = np.arange(d)
+
+    seg_t = np.zeros((N, n_seg, S, S))
+    seg_c = np.zeros((N, n_seg, n_seg))
+    seg_R = np.zeros((N, n_seg, S * d, S * d))
+
+    def add_R(a, sp_, lp, lq, vals):
+        """seg_R[a][sp_, lp*d:+d, lq*d:+d] += vals ([m, d, d])."""
+        r = lp[:, None, None] * d + ar[None, :, None]
+        c = lq[:, None, None] * d + ar[None, None, :]
+        np.add.at(seg_R[a], (sp_[:, None, None], r, c), vals)
+
+    eye = np.eye(d)
+    for a in range(N):
+        realp = np.zeros(n_pad, bool)
+        realp[:n0m] = mg.pose_mask[a]
+        dval = np.where(realp, xi, 1.0)
+        np.add.at(seg_t[a], (seg_of, loc_of, loc_of), dval)
+        np.add.at(seg_c[a], (seg_of, seg_of), dval)
+        for k in range(d):
+            np.add.at(seg_R[a], (seg_of, loc_of * d + k, loc_of * d + k),
+                      dval)
+
+        ii, jj = mg.a_i[a], mg.a_j[a]
+        msk = mg.a_mask[a]
+        w = mg.a_tau[a] * msk
+        kap = mg.a_kap[a] * msk
+        tt = mg.a_t[a]
+        Rm = mg.a_R[a]
+        si, li = seg_of[ii], loc_of[ii]
+        sj, lj = seg_of[jj], loc_of[jj]
+        np.add.at(seg_t[a], (si, li, li), w)
+        np.add.at(seg_t[a], (sj, lj, lj), w)
+        same = si == sj
+        np.add.at(seg_t[a], (si[same], li[same], lj[same]), -w[same])
+        np.add.at(seg_t[a], (si[same], lj[same], li[same]), -w[same])
+        np.add.at(seg_c[a], (si, si), w)
+        np.add.at(seg_c[a], (sj, sj), w)
+        np.add.at(seg_c[a], (si, sj), -w)
+        np.add.at(seg_c[a], (sj, si), -w)
+
+        ttT = tt[:, :, None] * tt[:, None, :]
+        add_R(a, si, li, li, kap[:, None, None] * eye
+              + w[:, None, None] * ttT)
+        add_R(a, sj, lj, lj, kap[:, None, None] * eye)
+        add_R(a, si[same], li[same], lj[same],
+              (-kap[same])[:, None, None] * Rm[same])
+        add_R(a, sj[same], lj[same], li[same],
+              (-kap[same])[:, None, None]
+              * np.swapaxes(Rm[same], -1, -2))
+
+        es = mg.e_self[a]
+        et2 = 2.0 * mg.e_tau[a] * mg.e_mask[a]
+        ek2 = 2.0 * mg.e_kap[a] * mg.e_mask[a]
+        ett = mg.e_t[a]
+        is_tail = mg.e_self_is_i[a]
+        se, le = seg_of[es], loc_of[es]
+        np.add.at(seg_t[a], (se, le, le), et2)
+        np.add.at(seg_c[a], (se, se), et2)
+        ettT = ett[:, :, None] * ett[:, None, :]
+        add_R(a, se, le, le, ek2[:, None, None] * eye
+              + (et2 * is_tail)[:, None, None] * ettT)
+
+    seg_t_inv = _clamped_spd_inv(seg_t)
+    seg_c_inv = _clamped_spd_inv(seg_c)
+    seg_R += reg[:, None, None, None] * np.eye(S * d)
+    seg_R_inv = np.linalg.inv(seg_R)
+    return seg_t_inv, seg_c_inv, seg_R_inv
+
+
 def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
                         loss: Loss = Loss.TRIVIAL, loss_reg: float = 1.0,
                         precon_cond: float = 1e6,
                         dense_limit: int = 4096,
+                        segment_limit: int = 2048,
+                        seg_size: int = 128,
+                        seg_cg_iters: int = 60,
+                        seg_cg_tol: float | None = None,
                         dtype=jnp.float64) -> NodeProblem:
     """Build a stacked NodeProblem (leading node axis) from a MultiGraph.
 
     Host-side numpy; the dense mG00 inverses are computed here once
     (replacing the reference's CHOLMOD factorization, DPGOProblem.cpp:93).
+
+    Blocks above `segment_limit` poses use the SEGMENT path: no [n0, n0]
+    array is ever formed (the eigen-split inverse is O(n0^2) memory and
+    O(n0^3) setup — infeasible at the 3-6k-poses-per-node blocks a
+    50-100k-pose graph splits into); instead translation solves run
+    segment-Schwarz-preconditioned CG and TNT refinement uses the coupled
+    model with segment-dense factors (see the NodeProblem field comments).
     """
     N, n0m, d = mg.num_nodes, mg.n0_max, mg.d
+    seg = n0m > segment_limit
+    if seg_cg_tol is None:
+        seg_cg_tol = 1e-7 if dtype == jnp.float64 else 3e-6
     diagT = np.full((N, n0m), 1.5 * xi)
     nvec = np.zeros((N, n0m, d))
     S = np.tile(1.5 * xi * np.eye(d), (N, n0m, 1, 1))
-    mG00 = np.zeros((N, n0m, n0m))
+    mG00 = np.zeros((N, 1, 1) if seg else (N, n0m, n0m))
     jac = np.tile(xi * np.eye(d), (N, n0m, 1, 1))  # mG11 block-diagonal
 
     for a in range(N):
@@ -884,10 +1112,11 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         np.add.at(S[a], jj, (2 * kap * msk)[:, None, None] * np.eye(d))
         # mG00 intra Laplacian.
         w = tau * msk
-        np.add.at(mG00[a], (ii, ii), w)
-        np.add.at(mG00[a], (jj, jj), w)
-        np.add.at(mG00[a], (ii, jj), -w)
-        np.add.at(mG00[a], (jj, ii), -w)
+        if not seg:
+            np.add.at(mG00[a], (ii, ii), w)
+            np.add.at(mG00[a], (jj, jj), w)
+            np.add.at(mG00[a], (ii, jj), -w)
+            np.add.at(mG00[a], (jj, ii), -w)
         # mG11 block diagonal (Jacobi preconditioner).
         np.add.at(jac[a], ii, (kap * msk)[:, None, None] * np.eye(d)
                   + (tau * msk)[:, None, None]
@@ -905,14 +1134,16 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         np.add.at(S[a], es, (2 * ek)[:, None, None] * np.eye(d)
                   + (2 * et * is_tail)[:, None, None]
                   * ett[:, :, None] * ett[:, None, :])
-        np.add.at(mG00[a], (es, es), 2 * et)
+        if not seg:
+            np.add.at(mG00[a], (es, es), 2 * et)
         np.add.at(jac[a], es, (2 * ek)[:, None, None] * np.eye(d)
                   + (2 * et * is_tail)[:, None, None]
                   * ett[:, :, None] * ett[:, None, :])
 
         # Padded poses get an identity diagonal (decoupled, well-conditioned).
         real = mg.pose_mask[a]
-        mG00[a][np.diag_indices(n0m)] += np.where(real, 0.0, 1.0)
+        if not seg:
+            mG00[a][np.diag_indices(n0m)] += np.where(real, 0.0, 1.0)
 
     Tinv = 1.0 / diagT
     W = S - Tinv[:, :, None, None] * nvec[:, :, :, None] * nvec[:, :, None, :]
@@ -920,19 +1151,54 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     # Split inverse of mG00 = L + xi I per node: eigendecompose the PSD L,
     # clamp the spectrum at zero, and separate the (near-)null eigenspace so
     # the reduced inverse has bounded entries.
-    lam, V = np.linalg.eigh(mG00)  # L without xi
-    lam = np.maximum(lam, 0.0)
-    scale = lam.max(axis=1, keepdims=True)
-    null_mask = lam < 1e-10 * np.maximum(scale, 1.0)  # [N, n0m]
-    kmax = max(int(null_mask.sum(axis=1).max()), 1)
-    Minv_red = np.zeros((N, n0m, n0m))
-    null_V = np.zeros((N, n0m, kmax))
-    for a in range(N):
-        nm = null_mask[a]
-        w = np.where(nm, 0.0, 1.0 / (lam[a] + xi))
-        Minv_red[a] = (V[a] * w[None, :]) @ V[a].T
-        k = int(nm.sum())
-        null_V[a][:, :k] = V[a][:, nm]
+    if seg:
+        # Segment path: the (near-)null space of mG00 = L + xi I is known
+        # analytically — one constant vector per connected component of the
+        # intra graph that carries no inter edge (the eigen-split finds
+        # exactly these numerically). Connected components replace the
+        # O(n0^3) eigendecomposition.
+        import scipy.sparse as sp
+        import scipy.sparse.csgraph as csgraph
+        comp_cols = []
+        for a in range(N):
+            n_real = int(mg.pose_mask[a].sum())
+            am = mg.a_mask[a]
+            ii, jj = mg.a_i[a][am], mg.a_j[a][am]
+            A = sp.coo_matrix(
+                (np.ones(len(ii)), (ii, jj)), shape=(n_real, n_real))
+            ncomp, labels = csgraph.connected_components(A, directed=False)
+            has_inter = np.zeros(ncomp, bool)
+            es_real = mg.e_self[a][mg.e_mask[a]]
+            has_inter[labels[es_real]] = True
+            cols = []
+            for cidx in range(ncomp):
+                if has_inter[cidx]:
+                    continue
+                v = np.zeros(n0m)
+                sel = labels == cidx
+                v[:n_real][sel] = 1.0 / np.sqrt(sel.sum())
+                cols.append(v)
+            comp_cols.append(cols)
+        kmax = max([len(c) for c in comp_cols] + [1])
+        null_V = np.zeros((N, n0m, kmax))
+        for a in range(N):
+            for k, v in enumerate(comp_cols[a]):
+                null_V[a][:, k] = v
+        Minv_red = np.zeros((N, 1, 1))
+    else:
+        lam, V = np.linalg.eigh(mG00)  # L without xi
+        lam = np.maximum(lam, 0.0)
+        scale = lam.max(axis=1, keepdims=True)
+        null_mask = lam < 1e-10 * np.maximum(scale, 1.0)  # [N, n0m]
+        kmax = max(int(null_mask.sum(axis=1).max()), 1)
+        Minv_red = np.zeros((N, n0m, n0m))
+        null_V = np.zeros((N, n0m, kmax))
+        for a in range(N):
+            nm = null_mask[a]
+            w = np.where(nm, 0.0, 1.0 / (lam[a] + xi))
+            Minv_red[a] = (V[a] * w[None, :]) @ V[a].T
+            k = int(nm.sum())
+            null_V[a][:, :k] = V[a][:, nm]
 
     # Regularized block-Jacobi preconditioner: invert per-pose blocks of
     # mG11 + (lambda_max / cond) I. lambda_max is approximated by the largest
@@ -945,7 +1211,7 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     lam_max = np.abs(jac).sum(axis=(-1, -2)).max(axis=-1)  # [N]
 
     # Dense operator images for the MXU TNT path (tall Q-storage).
-    dense = n0m * d <= dense_limit
+    dense = n0m * d <= dense_limit and not seg
     if dense:
         nd = n0m * d
         mG01_d = np.zeros((N, n0m, nd))
@@ -1041,15 +1307,26 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     kmax = max([len(v) for v in ipose_list] + [1])
     ipose = np.zeros((N, kmax), np.int32)
     imask = np.zeros((N, kmax), bool)
-    SU = np.zeros((N, n0m, kmax))
+    SU = np.zeros((N, 1, 1) if seg else (N, n0m, kmax))
     for a in range(N):
         k = len(ipose_list[a])
         ipose[a, :k] = ipose_list[a]
         imask[a, :k] = True
-        if k:
+        if k and not seg:
             cols = ipose_list[a]
             SU[a][:, :k] = Minv_red[a][:, cols] \
                 + null_V[a] @ null_V[a][cols, :].T / xi
+
+    # Segment-Schwarz factors (the any-block-size path; see the NodeProblem
+    # field comments). All dense work is on [S, S] / [S d, S d] contiguous-
+    # segment blocks — batched MXU matmuls at apply time.
+    if seg:
+        seg_t_inv, seg_c_inv, seg_R_inv = _build_segment_factors(
+            mg, xi, seg_size, lam_max / precon_cond)
+    else:
+        seg_t_inv = np.zeros((N, 1, 1, 1))
+        seg_c_inv = np.zeros((N, 1, 1))
+        seg_R_inv = np.zeros((N, 1, 1, 1))
 
     # Fused-STPCG block panels: only when the kernel is usable (f32 blocks
     # whose two operator panels fit VMEM together; d = 2 and 3 supported).
@@ -1088,4 +1365,8 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         e_self_is_i=jnp.asarray(mg.e_self_is_i),
         e_R=cast(mg.e_R), e_t=cast(mg.e_t),
         e_kap=cast(mg.e_kap), e_tau=cast(mg.e_tau),
+        seg=seg, seg_size=seg_size, seg_cg_iters=seg_cg_iters,
+        seg_cg_tol=seg_cg_tol,
+        seg_t_inv=cast(seg_t_inv), seg_c_inv=cast(seg_c_inv),
+        seg_R_inv=cast(seg_R_inv),
     )

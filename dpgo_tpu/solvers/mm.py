@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from dpgo_tpu.manifold import proj_tangent, project_sod
+from dpgo_tpu.manifold import (proj_tangent, project_sod,
+                               sym_block_diag_product)
 from dpgo_tpu.problem import NodeProblem, NodeState
 from dpgo_tpu.solvers.tnt import TNTModel, TNTParams, tnt, tnt_generic
 
@@ -427,6 +428,53 @@ def _make_tnt_model_dense(p: NodeProblem, g_t, g_Q, f,
                     retract=retract, fused_stpcg=fused)
 
 
+def _make_tnt_model_coupled(p: NodeProblem, g_t, g_R, f,
+                            anchor=None) -> TNTModel:
+    """Coupled (t, R) TNT model for the SEGMENT path (blocks past the
+    dense/eigen-split limit — the regime the reference hands to CHOLMOD,
+    DPGOProblem.cpp:93-124).
+
+    The reduced (t-eliminated) model's Hessian-vector product needs one
+    mG00 solve per STPCG iteration, which on the segment path would nest
+    CG inside CG; the surrogate G is an exact quadratic in (t, R), so
+    refining the COUPLED variable instead makes the hess-vp one edge-wise
+    G_apply (no solves) and yields the same surrogate decrease guarantee
+    (trust-region acceptance still evaluates the true G). Preconditioner:
+    two-level segment-Schwarz for t + segment-dense regularized mG11
+    inverses for R."""
+
+    if anchor is not None:
+        z_t, z_R, fobj = anchor
+
+        def objective(x):
+            return p.evaluate_G_rel(z_t, z_R, x[0], x[1], (g_t, g_R), fobj)
+    else:
+        def objective(x):
+            return p.evaluate_G(x[0], x[1], (g_t, g_R), f)
+
+    def grad_and_nabla(x):
+        Gt, GR = p.G_apply(x[0], x[1])
+        nt, nR = Gt + g_t, GR + g_R
+        return (nt, proj_tangent(x[1], nR)), (nt, nR)
+
+    def hess_vp(x, nabla, v):
+        # G is linear, so G_apply(v) IS the (Euclidean) Hessian action.
+        Ht, HR = p.G_apply(v[0], v[1])
+        HR = HR - sym_block_diag_product(v[1], x[1], nabla[1])
+        return (Ht, proj_tangent(x[1], HR))
+
+    def precondition(x, v):
+        return (p._precondition_t_seg(v[0]),
+                proj_tangent(x[1], p.precondition_R_seg(v[1])))
+
+    def retract(x, h):
+        return (x[0] + h[0], project_sod(x[1] + h[1]))
+
+    return TNTModel(objective=objective, grad_and_nabla=grad_and_nabla,
+                    hess_vp=hess_vp, precondition=precondition,
+                    retract=retract)
+
+
 def resolve_preconditioner(probs, opts: MMOptions) -> str:
     kind = opts.preconditioner
     if kind is None:
@@ -452,6 +500,11 @@ def _tnt_batch(probs, t0, R0, g_t, g_R, f, params: TNTParams,
                                           tnt_params=params)
             x, fx, _, _ = tnt_generic(model, (t, p.to_tall(R)), params)
             return x[0], p.from_tall(x[1]), fx
+    elif probs.seg:
+        def one(p, t, R, gt, gR, fv, ta, anc):
+            model = _make_tnt_model_coupled(p, gt, gR, fv, anchor=anc)
+            x, fx, _, _ = tnt_generic(model, (t, R), params)
+            return x[0], x[1], fx
     else:
         def one(p, t, R, gt, gR, fv, ta, anc):
             model = _make_tnt_model(p, gt, gR, fv, ta, precon, anchor=anc)
@@ -544,6 +597,11 @@ def refine_probe(probs, st: MMState, opts: MMOptions):
                                           precon_kind, anchor=anc,
                                           tnt_params=params)
             out = tnt_generic(model, (t, p.to_tall(R)), params, record=True)
+            return out[4]
+    elif probs.seg:
+        def one(p, t, R, gt, gR, fv, ta, anc):
+            model = _make_tnt_model_coupled(p, gt, gR, fv, anchor=anc)
+            out = tnt_generic(model, (t, R), params, record=True)
             return out[4]
     else:
         def one(p, t, R, gt, gR, fv, ta, anc):
