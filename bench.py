@@ -252,6 +252,59 @@ def main():
         except Exception as e:  # pragma: no cover
             extra["rim_synth_error"] = repr(e)[:200]
 
+    # --------------- extras: rim_synth_100k — the SEGMENT-path regime
+    # 102,400 poses / 16 nodes = 6,400-pose blocks, far past dense_limit:
+    # the reference's CHOLMOD-any-size regime (DPGOProblem.cpp:93-124),
+    # served here by segment-Schwarz CG translation solves + the coupled
+    # segment-preconditioned TNT. Dataset generated on demand
+    # (deterministic, tools/make_rim.py --rows 32 --cols 64 --floors 50).
+    rim100k = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "artifacts", "rim_synth_100k.g2o")
+    if platform == "tpu":
+        try:
+            if not os.path.exists(rim100k):
+                import subprocess
+                subprocess.run(
+                    ["python", os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "tools", "make_rim.py"),
+                     "--rows", "32", "--cols", "64", "--floors", "50",
+                     "--out", rim100k], check=True, timeout=1200)
+            meas_k = read_g2o_file(rim100k)
+            s_k = DPGOSolver(meas_k, num_nodes=16,
+                             opts=MMOptions(accelerated=True,
+                                            tnt=TNTParams(max_iterations=0)),
+                             dtype=dtype)
+            n_k = 100
+            st_k = s_k.initialize()
+            stw, _ = s_k.run_steps(st_k, k0, n_k)
+            np.asarray(stw.fobj)
+            dt_k = float("inf")
+            for _ in range(2):
+                st_k = s_k.initialize()
+                t0 = time.perf_counter()
+                st_k, _ = s_k.run_steps(st_k, k0, n_k)
+                np.asarray(st_k.fobj)
+                dt_k = min(dt_k, time.perf_counter() - t0)
+            ips_k = n_k / dt_k
+            fs_k = s_k.step_flops(s_k.initialize(), k0, n_k)
+            f_k, g_k = s_k._metrics(st_k)
+            extra["rim_synth_100k_16node_segment"] = {
+                "poses": int(meas_k.num_poses),
+                "poses_per_node": int(meas_k.num_poses) // 16,
+                "iters_per_sec": round(ips_k, 2),
+                "segment_path": bool(s_k.probs.seg),
+                # cost-analysis counts while-loop bodies once, so this
+                # under-reports the CG matvecs — a lower bound.
+                "flops_per_step_lower_bound": fs_k,
+                "achieved_gflops_lower_bound": (
+                    fs_k * ips_k / 1e9 if fs_k else None),
+                "fobj_2x_100it": float(f_k),
+                "grad_2x_100it": float(g_k),
+            }
+        except Exception as e:  # pragma: no cover
+            extra["rim_synth_100k_error"] = repr(e)[:200]
+
     prev_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_PREV.json")
     vs = None

@@ -169,6 +169,15 @@ class NodeProblem:
     seg_t_inv: jnp.ndarray   # [n_seg, S, S] dense mG00 segment inverses
     seg_c_inv: jnp.ndarray   # [n_seg, n_seg] coarse Galerkin inverse
     seg_R_inv: jnp.ndarray   # [n_seg, S d, S d] regularized mG11 inverses
+    # BSR image of mG00 for the CG matvec: diagonal [n_seg, S, S] blocks
+    # (pre-inversion) + off-diagonal segment-pair blocks with row/col ids.
+    # Batched MXU matmuls + a segment-granular scatter replace the
+    # edge-wise scatter-add, which TPU serializes row-by-row (~3 ms per
+    # pass at 100k-pose scale — the dominant translation-solve cost).
+    seg_diag: jnp.ndarray    # [n_seg, S, S]
+    seg_blk: jnp.ndarray     # [npair, S, S]
+    seg_row: jnp.ndarray     # [npair] int32
+    seg_col: jnp.ndarray     # [npair] int32
 
     # ---------------------------------------------------------------- helpers
 
@@ -561,16 +570,26 @@ class NodeProblem:
 
     # ------------------------------------------------- segment translation
     def mG00_matvec(self, v):
-        """Edge-wise mG00 apply for the segment path: the intra tau-
-        Laplacian + the inter diagonal (2 w tau at e_self, current
-        scale_w — dynamic rescale needs no Woodbury here) + xi on real
-        poses / identity on padded ones (matching the dense build's
-        mG00_full exactly)."""
-        dv = self.a_tau[:, None] * (v[self.a_i] - v[self.a_j])
-        out = jnp.zeros_like(v).at[self.a_i].add(dv).at[self.a_j].add(-dv)
-        wdiag = 2.0 * self.scale_w * self.e_tau
-        out = out.at[self.e_self].add(wdiag[:, None] * v[self.e_self])
-        return out + jnp.where(self.pose_mask[:, None], self.xi * v, v)
+        """Segment-BSR mG00 apply: batched [S, S] block matmuls (diagonal
+        blocks + off-diagonal segment pairs) + the dynamic-rescale inter
+        diagonal delta 2 (w - 1) tau edge-wise. Exactly equal to the
+        dense build's mG00_full (the BSR is a lossless host-side
+        reassembly); chosen over the edge-wise gather/scatter form
+        because TPU serializes scatter-adds row-by-row (~3 ms per pass at
+        100k-pose scale vs ~0.1 ms of MXU matmuls here)."""
+        S = self.seg_size
+        n_seg = self.seg_diag.shape[0]
+        n0 = self._n0()
+        vb = jnp.pad(v, ((0, n_seg * S - n0), (0, 0))).reshape(n_seg, S, -1)
+        out = jnp.einsum("spq,sqa->spa", self.seg_diag, vb)
+        contrib = jnp.einsum("kpq,kqa->kpa", self.seg_blk,
+                             vb[self.seg_col])
+        out = out.at[self.seg_row].add(contrib)
+        out = out.reshape(n_seg * S, -1)[:n0]
+        # Dynamic-rescale inter diagonal delta (zero at build weights).
+        dl = 2.0 * (self.scale_w - 1.0) * self.e_tau
+        out = out.at[self.e_self].add(dl[:, None] * v[self.e_self])
+        return out
 
     def _deflate_null(self, v):
         c = jnp.einsum("pk,pa->ka", self.null_V, v)
@@ -591,22 +610,33 @@ class NodeProblem:
         z = (z + c[:, None, :]).reshape(n_seg * S, -1)[:n0]
         return self._deflate_null(z)
 
-    def _solve_mG00_seg(self, rhs):
+    def _solve_mG00_seg(self, rhs, x0=None):
         """Preconditioned CG on the edge-wise mG00 (all d RHS columns run
         as independent CGs sharing iterations — per-column scalars). The
         null response is dropped exactly as in the dense split inverse
-        (the caller adds it from t_anchor, see solve_mG00)."""
-        r0 = self._deflate_null(rhs)
+        (the caller adds it from t_anchor, see solve_mG00).
+
+        `x0` warm-starts the iteration (hot-loop solves pass the anchor
+        translations, whose distance to the solution shrinks with the MM
+        step size — near convergence CG exits after O(1) iterations
+        instead of re-solving from scratch). Convergence is measured
+        against |rhs|, not the warm-started initial residual."""
+        r_full = self._deflate_null(rhs)
+        rr_ref = jnp.sum(r_full * r_full, axis=0)
+        if x0 is None:
+            x0 = jnp.zeros_like(rhs)
+            r0 = r_full
+        else:
+            x0 = self._deflate_null(x0)
+            r0 = r_full - self._deflate_null(self.mG00_matvec(x0))
         z0 = self._precondition_t_seg(r0)
-        x0 = jnp.zeros_like(rhs)
         rz0 = jnp.sum(r0 * z0, axis=0)
-        rr0 = jnp.sum(r0 * r0, axis=0)
         tol2 = self.seg_cg_tol * self.seg_cg_tol
 
         def cond(st):
             x, r, z, p, rz, k = st
             rr = jnp.sum(r * r, axis=0)
-            return (k < self.seg_cg_iters) & jnp.any(rr > tol2 * rr0)
+            return (k < self.seg_cg_iters) & jnp.any(rr > tol2 * rr_ref)
 
         def body(st):
             x, r, z, p, rz, k = st
@@ -662,9 +692,13 @@ class NodeProblem:
 
         Segment path: the dense split inverse is replaced by segment-
         Schwarz-preconditioned CG (_solve_mG00_seg), whose matvec carries
-        the current scale_w — dynamic rescale needs no Woodbury there."""
+        the current scale_w — dynamic rescale needs no Woodbury there. The
+        CG warm-starts from -t_anchor: the solve's output is (minus) a
+        translation state near the anchor, so the initial residual scales
+        with the MM step size instead of the state magnitude."""
         if self.seg:
-            out = self._solve_mG00_seg(rhs)
+            out = self._solve_mG00_seg(
+                rhs, x0=None if t_anchor is None else -t_anchor)
         else:
             out = jnp.einsum("pq,qa->pa", self.Minv_red, rhs)
         if t_anchor is None:
@@ -963,6 +997,24 @@ def with_weights(base: NodeProblem, w_bar: jnp.ndarray) -> NodeProblem:
 # ------------------------------------------------------------------ builders
 
 
+def _accum_cross_blocks(blk_map: dict, n_seg: int, S: int, r_arr, c_arr,
+                        lr, lc, vals):
+    """Accumulate edge couplings into per-(row, col)-segment-pair [S, S]
+    dense blocks (host-side BSR assembly)."""
+    if len(r_arr) == 0:
+        return
+    key = r_arr.astype(np.int64) * n_seg + c_arr
+    order = np.argsort(key, kind="stable")
+    key_s = key[order]
+    uniq, starts = np.unique(key_s, return_index=True)
+    bounds = np.append(starts, len(key_s))
+    for u, s0, s1 in zip(uniq, bounds[:-1], bounds[1:]):
+        r, c = divmod(int(u), n_seg)
+        blk = blk_map.setdefault((r, c), np.zeros((S, S)))
+        sel = order[s0:s1]
+        np.add.at(blk, (lr[sel], lc[sel]), vals[sel])
+
+
 def _clamped_spd_inv(A: np.ndarray, rel_clip: float = 1e-9) -> np.ndarray:
     """Batched SPD (pseudo-)inverse with the near-null spectrum clamped to
     zero weight — the segment analog of the eigen-split inverse: modes the
@@ -988,7 +1040,14 @@ def _build_segment_factors(mg: MultiGraph, xi: float, S: int,
     - seg_R_inv: plain inverses of mG11's segment-diagonal blocks (tall
       Q-storage convention, matching the dense-path mG11_d layout) +
       reg[a] I — the RegularizedCholesky-role preconditioner for the
-      coupled TNT model.
+      coupled TNT model;
+    - a block-compressed (BSR) image of the OFF-DIAGONAL segment coupling
+      of mG00 (seg_blk [npair, S, S] + seg_row/seg_col [npair]): the CG
+      matvec then runs as batched [S, S] MXU matmuls + a segment-granular
+      scatter (a few hundred 1.5 KB rows) instead of an edge-wise
+      scatter-add over 100k+ 12-byte rows, which TPU serializes
+      (measured ~3 ms per scatter at rim-100k scale — the dominant cost
+      of the entire translation solve).
     `reg` is the per-node lam_max / precon_cond regularizer."""
     N, n0m, d = mg.num_nodes, mg.n0_max, mg.d
     n_seg = -(-n0m // S)
@@ -1001,6 +1060,7 @@ def _build_segment_factors(mg: MultiGraph, xi: float, S: int,
     seg_t = np.zeros((N, n_seg, S, S))
     seg_c = np.zeros((N, n_seg, n_seg))
     seg_R = np.zeros((N, n_seg, S * d, S * d))
+    blk_maps = [dict() for _ in range(N)]  # (r, c) -> [S, S] off-diag block
 
     def add_R(a, sp_, lp, lq, vals):
         """seg_R[a][sp_, lp*d:+d, lq*d:+d] += vals ([m, d, d])."""
@@ -1032,6 +1092,15 @@ def _build_segment_factors(mg: MultiGraph, xi: float, S: int,
         same = si == sj
         np.add.at(seg_t[a], (si[same], li[same], lj[same]), -w[same])
         np.add.at(seg_t[a], (si[same], lj[same], li[same]), -w[same])
+        # Crossing edges: record the off-diagonal segment-pair couplings
+        # for the BSR matvec (both directions of the symmetric coupling).
+        cross = ~same
+        _accum_cross_blocks(blk_maps[a], n_seg, S,
+                            np.concatenate([si[cross], sj[cross]]),
+                            np.concatenate([sj[cross], si[cross]]),
+                            np.concatenate([li[cross], lj[cross]]),
+                            np.concatenate([lj[cross], li[cross]]),
+                            np.concatenate([-w[cross], -w[cross]]))
         np.add.at(seg_c[a], (si, si), w)
         np.add.at(seg_c[a], (sj, sj), w)
         np.add.at(seg_c[a], (si, sj), -w)
@@ -1059,11 +1128,24 @@ def _build_segment_factors(mg: MultiGraph, xi: float, S: int,
         add_R(a, se, le, le, ek2[:, None, None] * eye
               + (et2 * is_tail)[:, None, None] * ettT)
 
+    # Pack the off-diagonal BSR blocks (padded to the max pair count with
+    # zero blocks targeting row/col 0 — adds exact zeros, safe).
+    npair = max([len(m) for m in blk_maps] + [1])
+    seg_blk = np.zeros((N, npair, S, S))
+    seg_row = np.zeros((N, npair), np.int32)
+    seg_col = np.zeros((N, npair), np.int32)
+    for a in range(N):
+        for k, ((r, c), blk) in enumerate(sorted(blk_maps[a].items())):
+            seg_blk[a, k] = blk
+            seg_row[a, k] = r
+            seg_col[a, k] = c
+
     seg_t_inv = _clamped_spd_inv(seg_t)
     seg_c_inv = _clamped_spd_inv(seg_c)
     seg_R += reg[:, None, None, None] * np.eye(S * d)
     seg_R_inv = np.linalg.inv(seg_R)
-    return seg_t_inv, seg_c_inv, seg_R_inv
+    return (seg_t_inv, seg_c_inv, seg_R_inv, seg_t, seg_blk, seg_row,
+            seg_col)
 
 
 def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
@@ -1072,7 +1154,14 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
                         dense_limit: int = 4096,
                         segment_limit: int = 2048,
                         seg_size: int = 128,
-                        seg_cg_iters: int = 60,
+                        # 20 iterations of warm-started segment-Schwarz CG:
+                        # measured on rim-100k (16 nodes, 6400 poses/node),
+                        # the 300-step trajectory at cap 10 already matches
+                        # cap 60 to f32 noise (inexact-MM: the solve only
+                        # needs accuracy of order the MM contraction), and
+                        # the tol-based early exit takes over once the
+                        # warm-start residual shrinks near convergence.
+                        seg_cg_iters: int = 20,
                         seg_cg_tol: float | None = None,
                         dtype=jnp.float64) -> NodeProblem:
     """Build a stacked NodeProblem (leading node axis) from a MultiGraph.
@@ -1321,12 +1410,17 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
     # field comments). All dense work is on [S, S] / [S d, S d] contiguous-
     # segment blocks — batched MXU matmuls at apply time.
     if seg:
-        seg_t_inv, seg_c_inv, seg_R_inv = _build_segment_factors(
-            mg, xi, seg_size, lam_max / precon_cond)
+        (seg_t_inv, seg_c_inv, seg_R_inv, seg_diag, seg_blk, seg_row,
+         seg_col) = _build_segment_factors(mg, xi, seg_size,
+                                           lam_max / precon_cond)
     else:
         seg_t_inv = np.zeros((N, 1, 1, 1))
         seg_c_inv = np.zeros((N, 1, 1))
         seg_R_inv = np.zeros((N, 1, 1, 1))
+        seg_diag = np.zeros((N, 1, 1, 1))
+        seg_blk = np.zeros((N, 1, 1, 1))
+        seg_row = np.zeros((N, 1), np.int32)
+        seg_col = np.zeros((N, 1), np.int32)
 
     # Fused-STPCG block panels: only when the kernel is usable (f32 blocks
     # whose two operator panels fit VMEM together; d = 2 and 3 supported).
@@ -1369,4 +1463,6 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         seg_cg_tol=seg_cg_tol,
         seg_t_inv=cast(seg_t_inv), seg_c_inv=cast(seg_c_inv),
         seg_R_inv=cast(seg_R_inv),
+        seg_diag=cast(seg_diag), seg_blk=cast(seg_blk),
+        seg_row=jnp.asarray(seg_row), seg_col=jnp.asarray(seg_col),
     )
