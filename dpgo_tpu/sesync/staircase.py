@@ -118,7 +118,21 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
 
     `precon` (optional, V -> T V with T SPD ~ S^{-1}) is applied to the
     residual block each iteration — the reference's ILDL-preconditioned
-    LOBPCG (SESync_utils.cpp:790-830); see `chebyshev_precon`."""
+    LOBPCG (SESync_utils.cpp:790-830); see `chebyshev_precon`.
+
+    Robustness (the Duersch-et-al machinery the reference vendors,
+    Optimization/LinearAlgebra/LOBPCG.h): (a) SOFT LOCKING — columns whose
+    eigen-residual is below the tolerance contribute no search direction
+    (their residual column is zeroed) but stay in the Rayleigh-Ritz basis;
+    (b) BASIS TRUNCATION — after the [X R P] orthogonalization, basis
+    columns whose novel content (|diag R-factor|) collapses below
+    sqrt(eps) of the largest are dropped from the Rayleigh-Ritz (masked
+    out of H with a +inf diagonal and zeroed in the Ritz rotation), which
+    removes the numerically-arbitrary directions Householder QR emits for
+    a rank-deficient basis (the zero initial P block, locked residuals,
+    or a P block that has converged into span(X)) instead of letting them
+    inject noise into the Ritz step. Static shapes throughout (jit-safe:
+    dropping is masking, not reshaping)."""
 
     def ortho(X):
         Q, _ = jnp.linalg.qr(X)
@@ -138,10 +152,17 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
     # host syncs), and S X is carried across iterations (S X_{k+1} =
     # (S Q) U comes free from the Rayleigh-Ritz pass, halving the big
     # operator applications vs re-applying S to X each round).
+    lock_tol = jnp.asarray(0.0 if resid_tol is None else resid_tol, dtype)
+    drop_tol = jnp.sqrt(jnp.asarray(jnp.finfo(dtype).eps, dtype))
+
     def body(carry):
         X, SX, P, k, _, _ = carry
         theta = jnp.einsum("ik,ik->k", X, SX)
         Rres = SX - X * theta[None, :]
+        # Soft locking: converged columns stop generating search
+        # directions (they remain in the basis via the X block).
+        resid_cols = jnp.linalg.norm(Rres, axis=0)
+        Rres = jnp.where(resid_cols[None, :] <= lock_tol, 0.0, Rres)
         if precon is not None:
             Rres = precon(Rres)
         Rres = proj(Rres)
@@ -149,11 +170,21 @@ def min_eig_lobpcg(apply_S, nd, key, dtype, block=4, iters=200,
         # deflated complement: X, P are by construction, Rres by proj;
         # re-projecting X/P counters numerical drift out of D^perp).
         V = jnp.concatenate([X, Rres, P], axis=1)
-        Q, _ = jnp.linalg.qr(V)
+        Q, Rf = jnp.linalg.qr(V)
+        # Basis truncation: mask columns with no novel content. The X
+        # block is never dropped (first `block` columns, orthonormal).
+        dR = jnp.abs(jnp.diagonal(Rf))
+        good = dR > drop_tol * jnp.max(dR)
+        good = good.at[:block].set(True)
         SQ = apply_S(Q)
         H = Q.T @ SQ
         H = 0.5 * (H + H.T)
+        gmask = good[:, None] & good[None, :]
+        big = jnp.asarray(1e12, dtype) * (1.0 + jnp.max(jnp.abs(H)))
+        H = jnp.where(gmask, H, 0.0) \
+            + jnp.diag(jnp.where(good, 0.0, big))
         w, U = jnp.linalg.eigh(H)
+        U = U * good[:, None]
         Xn = proj(Q @ U[:, :block])
         SXn = SQ @ U[:, :block]
         Pn = proj(Xn - X @ (X.T @ Xn))
@@ -599,24 +630,28 @@ def staged_lambda_bound(meas: Measurements, Lam, apply_S, Y, dtype,
     def apply_S_np(v):
         return np.asarray(apply_S(jnp.asarray(v[:, None], dtype))).ravel()
 
-    # Bounded Lanczos budget: the default ARPACK maxiter (10 n) can burn
-    # minutes of matvecs on clustered spectra; 2000 iterations either
-    # converge or yield a partial Ritz pair whose exact-residual-backed
-    # bound is still sound (loose bounds fall through to LOBPCG via the
-    # caller's certification threshold).
+    # Stage 2: SHORT plain-Lanczos budget. ARPACK `maxiter` counts IRAM
+    # restarts (up to ncv matvecs each), so the old 2000-restart budget
+    # allowed ~192k matvecs — minutes of burn on exactly the marginal
+    # clustered-at-zero spectra that plain Lanczos cannot resolve anyway.
+    # Saddles and well-separated spectra converge within a few restarts;
+    # everything else falls through to the shift-invert stage quickly.
     nd = Y_np.shape[0]
     try:
         lamc, vec, resid = min_eig_arpack_deflated(
             apply_S_np, Y_np, nd, tol=min(1e-8, min_eig_tol),
-            maxiter=2000, ncv=96)
+            maxiter=30, ncv=96)
         unconverged = resid > max(abs(lamc), min_eig_tol)
     except Exception:
         unconverged = True
     if unconverged:
-        # Stage 3: deflated LOBPCG with the exact sparse shift-invert
-        # Schur preconditioner — the corridor-conditioned spectra
-        # (ais2klinik-class) where unpreconditioned Lanczos cannot push
-        # the absolute residual below tol in any reasonable budget.
+        # Stage 3 (the DEFAULT marginal route, generalized from the
+        # ais2klinik rescue): deflated LOBPCG with the exact sparse
+        # shift-invert Schur preconditioner — corridor-conditioned /
+        # clustered-at-zero spectra where unpreconditioned Lanczos cannot
+        # push the absolute residual below tol in any reasonable budget.
+        # Min-seeking + residual-honest: the preconditioner only
+        # accelerates; the bound charges the exact residual.
         delta = max(min_eig_tol, 10 * np.finfo(np.float64).eps
                     * abs(Sfull).max())
         pre_np = schur_shift_invert_precon(Sfull, meas.num_poses, nd,

@@ -58,8 +58,96 @@ def test_robust_surrogate_touches_and_majorizes(rng, loss):
         assert tot_G >= fx - 1e-8
 
 
-@pytest.mark.parametrize("loss", [Loss.HUBER, Loss.WELSCH])
-def test_robust_solver_decreases(rng, loss):
+@pytest.mark.parametrize("dtype", ["f64", "f32"])
+@pytest.mark.parametrize("mode", ["static", "dynamic"])
+@pytest.mark.parametrize("loss", [Loss.HUBER, Loss.GEMAN_MCCLURE,
+                                  Loss.WELSCH])
+def test_robust_matrix(rng, loss, mode, dtype):
+    """The full {kernel} x {static, dynamic} x {f32, f64} certificate
+    matrix (reference evaluate_E kernels, DPGOProblem.cpp:634-681):
+    tangency of the surrogate at the anchor, global majorization of the
+    robust objective, and (dynamic) the Woodbury-reweighted translation
+    solve inverting the reweighted system.
+
+    Dynamic mode uses the EXACT IRLS weights w(s_z) (inter_weights): the
+    solver's persisted 1.25x-inflated weights are the reference's
+    DiagReScale heuristic and intentionally do NOT majorize for shrinking
+    residuals — the restart machinery covers that regime instead.
+    """
+    jt = jnp.float64 if dtype == "f64" else jnp.float32
+    meas, _, _ = random_pose_graph(rng, num_poses=30, d=3, loop_closures=18)
+    part, nodes, mg = build_multigraph(meas, 3)
+    probs = build_node_problems(mg, xi=1e-6, loss=loss, loss_reg=0.25,
+                                dtype=jt)
+    edges = EdgeData.from_measurements(meas, node_of=part.node_of)
+    cast_e = jax.tree.map(
+        lambda x: x.astype(jt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, edges)
+
+    tz, Rz = rand_global(rng, meas)
+    zs = jax.tree.map(
+        lambda x: x.astype(jt) if jnp.issubdtype(x.dtype, jnp.floating)
+        else x, global_to_states(mg, part, tz, Rz))
+
+    probs_wood = None
+    if mode == "dynamic":
+        from dpgo_tpu.problem import with_weights
+        w, _ = jax.vmap(lambda p, Z: p.inter_weights(Z))(probs, zs)
+        w = jnp.where(jnp.asarray(mg.e_mask), w, 1.0)
+        # The Woodbury round-trip is checked in the solver's actual regime
+        # (weights clipped to min_rescale: unclipped Welsch weights ~0
+        # make the reweighted system near-singular, which f32 cannot
+        # round-trip); tangency/majorization use the exact IRLS weights.
+        probs_wood = jax.vmap(with_weights)(
+            probs, jnp.clip(w, 0.01, 1.0))
+        probs = jax.vmap(with_weights)(probs, w)
+
+    rtol = 1e-9 if dtype == "f64" else 5e-5
+    total = 0.0
+    for a in range(mg.num_nodes):
+        p = node_prob(probs, a)
+        z = state_at(zs, a)
+        g, f = p.surrogate_g_f(z)
+        G_at = float(p.evaluate_G(z.t, z.R, g, f))
+        fobj = float(p.local_fobj(z))
+        np.testing.assert_allclose(G_at, fobj, rtol=rtol)
+        total += fobj
+        if mode == "dynamic":
+            # Woodbury/reweighted translation solve inverts mG00(w).
+            pw = node_prob(probs_wood, a)
+            v = jnp.asarray(rng.normal(size=z.t.shape), jt)
+            mv, _ = pw.G_apply(v, jnp.zeros_like(z.R))
+            back = pw.solve_mG00(mv)
+            atol = 1e-6 if dtype == "f64" else 5e-3
+            np.testing.assert_allclose(np.asarray(back), np.asarray(v),
+                                       atol=atol)
+    f_global = float(evaluate_f(cast_e, jnp.asarray(tz, jt),
+                                jnp.asarray(Rz, jt),
+                                loss=loss, loss_reg=0.25))
+    np.testing.assert_allclose(total, f_global, rtol=max(rtol, 1e-6))
+
+    for _ in range(3):
+        tx, Rx = rand_global(rng, meas)
+        xs = jax.tree.map(
+            lambda x: x.astype(jt) if jnp.issubdtype(x.dtype, jnp.floating)
+            else x, global_to_states(mg, part, tx, Rx))
+        tot_G = 0.0
+        for a in range(mg.num_nodes):
+            p = node_prob(probs, a)
+            g, f = p.surrogate_g_f(state_at(zs, a))
+            x = state_at(xs, a)
+            tot_G += float(p.evaluate_G(x.t, x.R, g, f))
+        fx = float(evaluate_f(cast_e, jnp.asarray(tx, jt),
+                              jnp.asarray(Rx, jt),
+                              loss=loss, loss_reg=0.25))
+        slack = 1e-8 if dtype == "f64" else 1e-4 * (1.0 + abs(fx))
+        assert tot_G >= fx - slack
+
+
+@pytest.mark.parametrize("loss,rescale", [
+    (Loss.HUBER, "static"), (Loss.WELSCH, "static"),
+    (Loss.GEMAN_MCCLURE, "static"), (Loss.GEMAN_MCCLURE, "dynamic")])
+def test_robust_solver_decreases(rng, loss, rescale):
     meas, t_true, R_true = random_pose_graph(rng, num_poses=36, d=3,
                                              loop_closures=20, noise=0.05)
     # Corrupt a few inter-node edges to create outliers.
@@ -69,7 +157,8 @@ def test_robust_solver_decreases(rng, loss):
     bad = inter[:2]
     meas.t[bad] += 5.0
 
-    solver = DPGOSolver(meas, num_nodes=3, opts=MMOptions(accelerated=True),
+    solver = DPGOSolver(meas, num_nodes=3,
+                        opts=MMOptions(accelerated=True, rescale=rescale),
                         loss=loss, loss_reg=0.25)
     st, hist = solver.run(60, record_every=15)
     assert np.all(np.isfinite(hist))

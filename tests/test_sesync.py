@@ -183,3 +183,47 @@ def test_certify_with_chebyshev_precon():
                                           method="lobpcg")
     assert ok
     assert bound < 1e-2
+
+
+def test_city10000_certified_without_arpack(monkeypatch):
+    """Large-dataset certification end-to-end on the DEVICE LOBPCG route
+    (VERDICT r4 #7): chordal init + host-LM candidate, then the matrix-free
+    Chebyshev-preconditioned device LOBPCG certificate only — ARPACK and
+    the host sparse shift-invert factorization are asserted unused. Must
+    reach the catalog verdict and optimum (~35 s CPU f64)."""
+    import json
+    import os
+    cat_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "artifacts", "certified_optima.json")
+    if not os.path.exists(cat_path):
+        pytest.skip("catalog not built")
+    cat = json.load(open(cat_path))
+    if cat.get("city10000.g2o", {}).get("status") != "GlobalOpt":
+        pytest.skip("city10000 not certified")
+    f_star = cat["city10000.g2o"]["fxhat_2x"]
+
+    from dpgo_tpu.sesync import staircase as sc
+    from dpgo_tpu.sesync.init import recover_translations_global
+    from dpgo_tpu.solvers.host_lm import lm_polish
+
+    def _banned(*a, **k):  # pragma: no cover - fails the test if reached
+        raise AssertionError("host sparse-direct eigensolve used on the "
+                             "device-LOBPCG certification route")
+
+    monkeypatch.setattr(sc, "min_eig_arpack_deflated", _banned)
+    monkeypatch.setattr(sc, "schur_shift_invert_precon", _banned)
+
+    meas = read_g2o_file(dataset_path("city10000.g2o"))
+    R0 = chordal_initialization(meas)
+    t0 = recover_translations_global(meas, R0)
+    res = lm_polish(meas, t0, R0)
+    np.testing.assert_allclose(res.f2x, f_star, rtol=1e-9)
+
+    ok, lam, bound, fx = certify_solution(
+        meas, res.R, min_eig_tol=1e-5, dtype=jnp.float64,
+        method="lobpcg", precon="chebyshev", lobpcg_iters=400)
+    assert ok
+    assert lam >= -1e-5
+    np.testing.assert_allclose(2 * fx, f_star, rtol=1e-9)
+    # Residual-honest bound at a true optimum: tight.
+    assert 2 * bound <= 1e-4 * f_star

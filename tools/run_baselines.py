@@ -210,6 +210,13 @@ def main():
                    loss=Loss.HUBER, dynamic=True))
     add(run_config("cfg4 Welsch", "smallGrid3D.g2o", 4, it,
                    loss=Loss.WELSCH))
+    # Geman-McClure rows (the 4th evaluate_E kernel, DPGOProblem.cpp:
+    # 634-681): static at city10000 scale + dynamic rescale — no robust
+    # kernel is bench-unexercised.
+    add(run_config("cfg4 GemanMcClure", "city10000.g2o", 16, it,
+                   loss=Loss.GEMAN_MCCLURE))
+    add(run_config("cfg4 GM+dynamic", "city10000.g2o", 16, it,
+                   loss=Loss.GEMAN_MCCLURE, dynamic=True))
     if os.path.exists(grid_synth):
         add(run_config("cfg4 Huber (synthetic grid3D)", grid_synth, 8, it,
                        loss=Loss.HUBER))

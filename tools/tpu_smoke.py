@@ -33,6 +33,12 @@ DATA = "/root/reference/dataset"
 failures = []
 
 
+# CPU f64 reference for the geman+dynamic city10000 16-node 150-iteration
+# config (recomputed round 5; rho(s) <= s so the robust objective sits
+# below the trivial certified 2f* = 638.62).
+GM_DYN_CITY_F64 = 561.3599261941521
+
+
 def check(name, cond, detail=""):
     status = "ok" if cond else "FAIL"
     print(f"{name}: {status} {detail}", flush=True)
@@ -111,6 +117,16 @@ def main():
     check("embed-vs-arg dynamic divergence still reproduces", d3 > 0.5,
           f"|2f_embed-2f_arg|={d3:.3e} (embed {fe:.2f} arg {fa:.2f}; if "
           "this FAILS the XLA bug is gone -> re-enable embedding)")
+
+    # 5b. geman_mcclure + dynamic rescale at city10000 scale (the 4th
+    # evaluate_E kernel, never before TPU-smoked; coarse parity vs a CPU
+    # f64 reference computed for THIS exact config/iteration count).
+    meas = read_g2o_file(os.path.join(DATA, "city10000.g2o"))
+    f, g = run(meas, 16, MMOptions(accelerated=True, rescale="dynamic"),
+               150, loss=Loss.GEMAN_MCCLURE, loss_reg=0.25)
+    check("city10000 geman+dynamic f32 16-node",
+          abs(f / GM_DYN_CITY_F64 - 1.0) < 0.02,
+          f"2f={f:.4f} (cpu f64 {GM_DYN_CITY_F64:.4f})")
 
     # 6. global polish on TPU (f32 trust-region step + node-block
     # preconditioner): from a 150-iteration sphere2500 bulk state the
