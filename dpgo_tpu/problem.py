@@ -120,6 +120,13 @@ class NodeProblem:
     # ([1, 1, 1] placeholders otherwise).
     Hpan: jnp.ndarray
     Ppan: jnp.ndarray
+    # One-hot inter-edge scatter operator Asel[p, e] = 1{e_self[e] == p}
+    # (valid edges only). On the dense path the per-iteration surrogate
+    # scatter-add of inter-edge gradient halves into pose slots runs as
+    # ONE MXU matmul Asel @ [dt | dR] instead of a row-serialized TPU
+    # scatter (measured on city10000 16-node: the scatter fusion alone was
+    # 1.8 ms of a 13.4 ms step). [1, 1] placeholder off the dense path.
+    Asel: jnp.ndarray        # [n0, m1]
 
     # Dynamic rescale (Rescale::Dynamic): persisted per-inter-edge surrogate
     # weights w_bar (DiagReScale in the reference, DPGOProblem.cpp:751-840).
@@ -239,6 +246,17 @@ class NodeProblem:
             + sk[:, None, None] * jnp.einsum("eab,ecb->eac", E, self.e_R),
             -sk[:, None, None] * E)
         n0 = self._n0()
+        if self.dense and self.Asel.shape[0] == n0:
+            # MXU scatter: one [n0, m1] @ [m1, d + d^2] matmul. HIGHEST
+            # precision keeps the f32 accumulation at scatter-add quality
+            # (the one-hot rows are exact; only summation order differs).
+            d = self.d
+            m1 = dt.shape[0]
+            vals = jnp.concatenate([dt, dR.reshape(m1, d * d)], axis=1)
+            out = jax.lax.dot_general(
+                self.Asel, vals, (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST)
+            return out[:, :d], out[:, d:].reshape(n0, d, d)
         g_t = jnp.zeros((n0, self.d), dt.dtype).at[self.e_self].add(dt)
         g_R = jnp.zeros((n0, self.d, self.d), dR.dtype).at[self.e_self].add(dR)
         return g_t, g_R
@@ -1437,6 +1455,18 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         Hpan = np.zeros((N, 1, 1, 1))
         Ppan = np.zeros((N, 1, 1, 1))
 
+    # One-hot inter-edge scatter operator (dense path): Asel @ vals is the
+    # MXU replacement for the per-iteration at[e_self].add scatter. Padded
+    # edges carry zero tau/kappa so masking is belt-and-braces.
+    if dense:
+        m1m = mg.e_self.shape[1]
+        Asel = np.zeros((N, n0m, max(m1m, 1)))
+        cols = np.arange(m1m)
+        for a in range(N):
+            Asel[a][mg.e_self[a], cols] = mg.e_mask[a].astype(float)
+    else:
+        Asel = np.zeros((N, 1, 1))
+
     cast = lambda x: jnp.asarray(x, dtype)
     return NodeProblem(
         d=d, xi=xi, loss=loss, loss_reg=loss_reg,
@@ -1448,6 +1478,7 @@ def build_node_problems(mg: MultiGraph, xi: float = 1e-11,
         mG11_d=cast(mG11_d), Hred_d=cast(Hred_d),
         precon_dense=cast(precon_dense),
         Hpan=jnp.asarray(Hpan, jnp.float32),
+        Asel=cast(Asel),
         Ppan=jnp.asarray(Ppan, jnp.float32),
         dynamic=False, scale_w=jnp.ones((N, mg.m1_max), dtype),
         ipose=jnp.asarray(ipose), imask=jnp.asarray(imask),

@@ -722,8 +722,17 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
     soft = ((Gk > st.Fk1) & (st.hits0 >= opts.max_soft_restart_hits0)) | \
            ((Gk > st.fobj) & (st.hits1 > opts.max_soft_restart_hits1))
     restart = hard | soft
-    use_h0 = (st.Fk0 - Gk) < opts.phi * (st.Fk0 - Gkh)
-    exceptional = jnp.any(need_retry | restart | use_h0)
+
+    # The cascade is split into THREE scalar lax.conds (retry / restart /
+    # phi-test) rather than the round-4 single monolithic one: measured on
+    # city10000 16-node, the phi-test alone fires on a sizable fraction of
+    # iterations, and under one cond it dragged the full retry+restart+TNT
+    # recompute with it (~+6.4 ms/it TNT-off, ~+15 ms/it full preset) when
+    # all it needs is one translation solve + one surrogate evaluation.
+    # Each stage's branch is its exact slice of the reference cascade
+    # (DPGOHash.cpp:386-441); the masked selects make the skip branch the
+    # fired branch specialized to all-false flags, so the forced-slow
+    # equality test still pins semantics.
 
     def slow_path(_):
         # Retry the un-extrapolated proximal if Gkh insufficient
@@ -734,9 +743,23 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         Xakh_t = jnp.where(need_retry[:, None, None], tp_t, th_t)
         Xakh_R = jnp.where(need_retry[:, None, None, None], tp_R, th_R)
         Gkh2 = jnp.where(need_retry, Gkp, Gkh)
+        return Xakh_t, Xakh_R, Gkh2
 
+    def fast_path(_):
+        return th_t, th_R, Gkh
+
+    Xakh_t, Xakh_R, Gkh2 = lax.cond(jnp.any(need_retry), slow_path,
+                                    fast_path, operand=None)
+
+    def restart_path(_):
         # Restart candidate: Xakh if good enough, else un-extrapolated
-        # proximal; translations from g (non-extrapolated).
+        # proximal; translations from g (non-extrapolated). The proximal
+        # retry is recomputed here (deterministic, identical) because the
+        # `~good` select needs it even for nodes where need_retry was
+        # False — restarts are the rarest stage, so the duplicate work is
+        # paid almost never instead of on every exceptional iteration.
+        tp_t, tp_R = jax.vmap(lambda p, z, dt, dR: p.proximal(z, (dt, dR)))(
+            probs, st.Z, st.Df_t, st.Df_R)
         good = Gkh2 <= st.fobj
         r_R = jnp.where(good[:, None, None, None], Xakh_R, tp_R)
         r_t = jax.vmap(lambda p, R, gt, ta: p.recover_translations(
@@ -752,29 +775,36 @@ def iterate_amm(probs: NodeProblem, st: MMState, opts: MMOptions,
         # is the absolute dense form, fine for its own accept/reject ratios
         # but too coarse in f32 to feed the restart comparisons).
         Gk_restart = _eval_G_batch(probs, st, rt_t, rt_R, zres)
+        return (jnp.where(restart[:, None, None], rt_t, Xak_t),
+                jnp.where(restart[:, None, None, None], rt_R, Xak_R),
+                jnp.where(restart, Gk_restart, Gk))
 
-        Xk_t = jnp.where(restart[:, None, None], rt_t, Xak_t)
-        Xk_R = jnp.where(restart[:, None, None, None], rt_R, Xak_R)
-        Gk2 = jnp.where(restart, Gk_restart, Gk)
+    def restart_skip(_):
+        return Xak_t, Xak_R, Gk
 
-        # phi-test: fall back to the proximal iterate Xakh if the refined
-        # step made insufficient progress relative to it
-        # (DPGOHash.cpp:434-441).
-        use_h = (st.Fk0 - Gk2) < opts.phi * (st.Fk0 - Gkh2)
+    Xk_t2, Xk_R2, Gk2 = lax.cond(jnp.any(restart), restart_path,
+                                 restart_skip, operand=None)
+
+    # phi-test: fall back to the proximal iterate Xakh if the refined
+    # step made insufficient progress relative to it
+    # (DPGOHash.cpp:434-441).
+    use_h = (st.Fk0 - Gk2) < opts.phi * (st.Fk0 - Gkh2)
+
+    def phi_path(_):
         g_sel_t = jnp.where(restart[:, None, None], st.g_t, g_t_ex)
         t_sel = jnp.where(restart[:, None, None], st.Z.t, Y.t)
         phi_t = jax.vmap(lambda p, R, gt, ta: p.recover_translations(
             R, gt, ta))(probs, Xakh_R, g_sel_t, t_sel)
-        Xk_t = jnp.where(use_h[:, None, None], phi_t, Xk_t)
-        Xk_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xk_R)
+        Xk_t = jnp.where(use_h[:, None, None], phi_t, Xk_t2)
+        Xk_R = jnp.where(use_h[:, None, None, None], Xakh_R, Xk_R2)
         Gk3 = jnp.where(use_h,
                         _eval_G_batch(probs, st, Xk_t, Xk_R, zres), Gk2)
         return Xk_t, Xk_R, Gk3
 
-    def fast_path(_):
-        return Xak_t, Xak_R, Gk
+    def phi_skip(_):
+        return Xk_t2, Xk_R2, Gk2
 
-    Xak_t2, Xak_R2, Gk_f = lax.cond(exceptional, slow_path, fast_path,
+    Xak_t2, Xak_R2, Gk_f = lax.cond(jnp.any(use_h), phi_path, phi_skip,
                                     operand=None)
 
     s_next = jnp.where(hard, jnp.maximum(0.5 * st.s_next, 1.0), st.s_next)
